@@ -1,0 +1,156 @@
+"""Device-side batch schemas: fixed-capacity padded event buffers.
+
+The reference keeps batches as ragged flat tensors with per-event
+sample/element indices (reference utils/dataset.py:961-1020).  Under XLA every
+shape must be static, so the TPU build pads the flat event axis to a fixed
+``capacity`` (bucketable) and marks padding by an out-of-range
+``sample_index`` — scatter/segment ops then drop padding for free by using
+``num_segments = batch_size``.
+"""
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class EventBuffer:
+    """Fixed-capacity padded event buffer.
+
+    Attributes:
+        x, y: int32 ``[capacity]`` pixel coordinates (0 for padding).
+        timestamp: float32 ``[capacity]`` seconds from sample start.
+        polarity: float32 ``[capacity]`` in {-1, +1} (0 for padding).
+        element_index: int32 ``[capacity]`` element within the sample.
+        sample_index: int32 ``[capacity]``; padding entries hold
+            ``batch_size`` (one past the last valid segment).
+        num_events: int32 scalar — number of valid leading entries.
+    """
+    x: jnp.ndarray
+    y: jnp.ndarray
+    timestamp: jnp.ndarray
+    polarity: jnp.ndarray
+    element_index: jnp.ndarray
+    sample_index: jnp.ndarray
+    num_events: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.x.shape[0]
+
+    def valid_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity) < self.num_events
+
+
+@struct.dataclass
+class Batch:
+    """Device-ready training batch.
+
+    Exactly one of ``events`` (raw path) / ``data`` (quantized path) is set.
+
+    Attributes:
+        events: padded EventBuffer or None.
+        data: float32 ``[B, C, H, W]`` dense event representation or None.
+        timestamps: float32 ``[D]`` image timestamps (D = sum of
+            elements_per_sample + 1; padded entries are 0).
+        sample_idx: int32 ``[D]`` sample of each timestamp (-1 for padding).
+        images: float32 ``[D, 1, H, W]`` grayscale frames at the timestamps.
+        size: static python int — number of samples B.
+    """
+    events: Optional[EventBuffer]
+    data: Optional[jnp.ndarray]
+    timestamps: jnp.ndarray
+    sample_idx: jnp.ndarray
+    images: jnp.ndarray
+    size: int = struct.field(pytree_node=False)
+
+
+def round_up_to_bucket(n: int, buckets) -> int:
+    """Smallest bucket >= n; buckets is a sorted iterable of capacities."""
+    for b in buckets:
+        if n <= b:
+            return b
+    raise OverflowError(f'{n} events exceed the largest bucket {buckets[-1]}')
+
+
+def default_buckets(capacity: int):
+    """Power-of-two bucket ladder up to ``capacity`` (limits recompiles)."""
+    buckets = []
+    b = 4096
+    while b < capacity:
+        buckets.append(b)
+        b *= 2
+    buckets.append(capacity)
+    return buckets
+
+
+def pad_events(events: dict, batch_size: int, capacity: int) -> EventBuffer:
+    """Pad a ragged host-side event dict to a fixed-capacity EventBuffer.
+
+    Args:
+        events: dict with 1-d numpy arrays ``x, y, timestamp, polarity,
+            element_index, sample_index``.
+        batch_size: number of samples (padding sample_index = batch_size).
+        capacity: target buffer length.
+
+    Raises:
+        OverflowError: when the batch holds more than ``capacity`` events.
+    """
+    n = int(np.asarray(events['x']).size)
+    if n > capacity:
+        raise OverflowError(f'{n} events exceed event buffer capacity '
+                            f'{capacity}')
+
+    def pad(arr, fill, dtype):
+        arr = np.asarray(arr, dtype=dtype)
+        out = np.full(capacity, fill, dtype=dtype)
+        out[:n] = arr
+        return out
+
+    return EventBuffer(
+        x=pad(events['x'], 0, np.int32),
+        y=pad(events['y'], 0, np.int32),
+        timestamp=pad(events['timestamp'], 0.0, np.float32),
+        polarity=pad(events['polarity'], 0.0, np.float32),
+        element_index=pad(events['element_index'], 0, np.int32),
+        sample_index=pad(events['sample_index'], batch_size, np.int32),
+        num_events=np.int32(n))
+
+
+def pad_batch(collated: dict,
+              capacity: Optional[int] = None,
+              buckets=None) -> Batch:
+    """Convert a host-collated ragged batch dict into a device-ready Batch.
+
+    Args:
+        collated: output of ``collate.collate_wrapper`` (raw path, has
+            'events') or a decoded quantized batch (has 'data').
+        capacity: fixed event capacity; mutually exclusive with buckets.
+        buckets: sorted capacities; the smallest fitting one is used.
+    """
+    size = int(collated['size'])
+    images = np.asarray(collated['images'], dtype=np.float32)
+    if images.ndim == 3:
+        images = images[:, None]
+    timestamps = np.asarray(collated['timestamps'], dtype=np.float32)
+    sample_idx = np.asarray(collated['sample_idx'], dtype=np.int32)
+
+    events = None
+    data = None
+    if 'events' in collated and collated['events'] is not None:
+        ev = collated['events']
+        n = int(np.asarray(ev['x']).size)
+        if buckets is not None:
+            capacity = round_up_to_bucket(n, buckets)
+        assert capacity is not None, 'capacity or buckets required'
+        events = pad_events(ev, size, capacity)
+    else:
+        data = np.asarray(collated['data'], dtype=np.float32)
+
+    return Batch(events=events,
+                 data=data,
+                 timestamps=timestamps,
+                 sample_idx=sample_idx,
+                 images=images,
+                 size=size)
