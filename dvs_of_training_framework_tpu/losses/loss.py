@@ -1,0 +1,191 @@
+"""Multi-scale self-supervised optical-flow objective.
+
+The training objective of the reference (utils/loss.py:38-240):
+
+- photometric: warp the *next* frame with the predicted flow (bilinear,
+  align_corners) and penalise the Charbonnier difference to the *previous*
+  frame,
+- smoothness: Charbonnier of 4-direction flow differences,
+- out-of-border regularization: Charbonnier of flow values whose warp
+  target leaves the [-1, 1] grid, normalised per sample.
+
+The TPU build computes everything at fixed shapes: masked reductions replace
+boolean gathers, per-sample denominators are broadcast instead of
+searchsorted (reference utils/loss.py:96-119), and prediction-to-image
+matching (reference utils/loss.py:182-206) uses argmax over equality masks.
+Numeric parity with the reference is pinned by tests/loss/test_loss.py
+(golden values + a torch oracle).
+"""
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import charbonnier_loss, grid_sample, resize_bilinear
+
+
+class SingleScaleLoss:
+    """Loss terms for one prediction scale ``(H, W)``.
+
+    The pixel-coordinate base grid is built per instance like the reference's
+    preallocated meshgrid (utils/loss.py:43-55); under jit it constant-folds.
+    """
+
+    def __init__(self, pred_shape: Tuple[int, int]):
+        self.H, self.W = int(pred_shape[0]), int(pred_shape[1])
+        xs = jnp.arange(self.W, dtype=jnp.float32)
+        ys = jnp.arange(self.H, dtype=jnp.float32)
+        gx, gy = jnp.meshgrid(xs, ys)          # [H, W] each
+        self.grid = jnp.stack([gx, gy], axis=0)  # [2, H, W], (x, y)
+
+    def _warp_grid(self, flow: jnp.ndarray) -> jnp.ndarray:
+        """Normalized sampling grid: (base + flow) mapped to [-1, 1]."""
+        grid = self.grid[None] + flow            # [N, 2, H, W]
+        gx = grid[:, 0] / ((self.W - 1) / 2.0) - 1.0
+        gy = grid[:, 1] / ((self.H - 1) / 2.0) - 1.0
+        return jnp.stack([gx, gy], axis=1)       # [N, 2, H, W]
+
+    def photometric_loss(self, prev_images, next_images, warp_grid):
+        warped = grid_sample(next_images,
+                             warp_grid.transpose(0, 2, 3, 1))
+        return charbonnier_loss(warped - prev_images)
+
+    def smoothness_loss(self, flow):
+        ucrop = flow[..., 1:, :]
+        dcrop = flow[..., :-1, :]
+        lcrop = flow[..., 1:]
+        rcrop = flow[..., :-1]
+
+        ulcrop = flow[..., 1:, 1:]
+        drcrop = flow[..., :-1, :-1]
+        dlcrop = flow[..., :-1, 1:]
+        urcrop = flow[..., 1:, :-1]
+
+        return (charbonnier_loss(lcrop - rcrop)
+                + charbonnier_loss(ucrop - dcrop)
+                + charbonnier_loss(ulcrop - drcrop)
+                + charbonnier_loss(dlcrop - urcrop)) / 4
+
+    def outborder_regularization_loss(self, flow, warp_grid):
+        N = flow.shape[0]
+        # pixels whose x or y warp target leaves [-1, 1]
+        mask = ((warp_grid < -1) | (warp_grid > 1)).sum(axis=1) > 0  # [N,H,W]
+        mask = jax.lax.stop_gradient(mask)
+        # per-sample count of penalised values (x and y channels both count)
+        denominators = mask.reshape(N, -1).sum(axis=1) * 2           # [N]
+        den = (denominators * N)[:, None, None, None].astype(flow.dtype)
+        mask2 = jnp.broadcast_to(mask[:, None], flow.shape)
+        return charbonnier_loss(flow, mask=mask2, denominator=den)
+
+    def __call__(self, prev_images, next_images, flow):
+        assert prev_images.shape == next_images.shape
+        assert prev_images.shape[-2:] == (self.H, self.W), \
+            f'{prev_images.shape} vs {(self.H, self.W)}'
+        assert flow.shape[1] == 2
+
+        warp_grid = self._warp_grid(flow)
+        photometric = self.photometric_loss(prev_images, next_images,
+                                            warp_grid)
+        smoothness = self.smoothness_loss(flow)
+        outborder = self.outborder_regularization_loss(flow, warp_grid)
+        return smoothness, photometric, outborder
+
+
+def match_predictions_to_images(flow_ts, flow_sample_idx,
+                                timestamps, sample_idx):
+    """Indices of the (start, stop) image for every prediction.
+
+    Fixed-shape analogue of the reference's nonzero-based matching
+    (utils/loss.py:182-206): for prediction p, find d with
+    ``timestamps[d] == flow_ts[p, f] and sample_idx[d] == flow_sample_idx[p]``
+    for f in {start, stop}.  Equality on timestamps is exact because models
+    return ``flow_ts`` gathered from the same ``timestamps`` array.
+    """
+    sample_mask = sample_idx[None, :, None] == \
+        flow_sample_idx[None, None, :]                      # [1, D, P]
+    ts_mask = timestamps[None, :, None] == \
+        flow_ts.T[:, None, :]                               # [2, D, P]
+    image_mask = ts_mask & sample_mask                      # [2, D, P]
+    start_indices = jnp.argmax(image_mask[0], axis=0)       # [P]
+    stop_indices = jnp.argmax(image_mask[1], axis=0)        # [P]
+    return start_indices, stop_indices
+
+
+class MultiScaleLoss:
+    """Per-scale losses over a tuple of flow predictions.
+
+    Reference ``Losses`` (utils/loss.py:174-214).  Note the reference
+    *chains* the image interpolation across scales (``images`` is reassigned
+    inside the loop): scale i+1 interpolates the scale-i image, not the
+    original.  Replicated here for training-dynamics parity.
+    """
+
+    def __init__(self, shapes: Sequence[Tuple[int, int]]):
+        self.shapes = [tuple(map(int, s)) for s in shapes]
+        self.losses = [SingleScaleLoss(s) for s in self.shapes]
+
+    def __call__(self, flows, flow_ts, flow_sample_idx, images, timestamps,
+                 sample_idx):
+        start_indices, stop_indices = match_predictions_to_images(
+            flow_ts, flow_sample_idx, timestamps, sample_idx)
+        start_indices = jax.lax.stop_gradient(start_indices)
+        stop_indices = jax.lax.stop_gradient(stop_indices)
+        result = []
+        for loss, flow in zip(self.losses, flows):
+            cur_shape = flow.shape[-2:]
+            images = jax.lax.stop_gradient(
+                resize_bilinear(images, cur_shape))
+            result.append(loss(images[start_indices],
+                               images[stop_indices],
+                               flow))
+        return tuple(zip(*result))
+
+
+def combined_loss(evaluator,
+                  flows,
+                  flow_ts,
+                  flow_sample_idx,
+                  images,
+                  timestamps,
+                  sample_idx,
+                  weights=(0.5, 1, 1)):
+    """Weighted sum of the mean per-scale loss terms
+    (reference utils/training.py:12-24)."""
+    terms = evaluator(flows, flow_ts, flow_sample_idx, images,
+                      timestamps, sample_idx)
+    loss = sum(w * (sum(t) / len(t)) for t, w in zip(terms, weights))
+    return loss, terms
+
+
+def init_losses(shape, batch_size, apply_fn, params, sequence_length=1):
+    """Discover the model's output scales and build a MultiScaleLoss.
+
+    TPU analogue of the reference's empty-events probe forward
+    (utils/loss.py:217-240): ``jax.eval_shape`` traces the model without
+    running it, so scale discovery is free.
+
+    Args:
+        shape: (H, W) input image shape.
+        batch_size: unused (kept for signature parity; shapes are static).
+        apply_fn: ``(params, events, timestamps, sample_idx, imsize) -> out``.
+        params: model parameters (only shapes matter).
+        sequence_length: timestamps per sample - 1.
+    """
+    from ..data.schema import EventBuffer
+
+    num_timestamps = sequence_length + 1
+    events = EventBuffer(
+        x=jnp.zeros((8,), jnp.int32),
+        y=jnp.zeros((8,), jnp.int32),
+        timestamp=jnp.zeros((8,), jnp.float32),
+        polarity=jnp.zeros((8,), jnp.float32),
+        element_index=jnp.zeros((8,), jnp.int32),
+        sample_index=jnp.full((8,), 1, jnp.int32),
+        num_events=jnp.int32(0))
+    timestamps = jnp.array([0.04 * i for i in range(num_timestamps)],
+                           jnp.float32)
+    sample_idx = jnp.zeros((num_timestamps,), jnp.int32)
+    out = jax.eval_shape(apply_fn, params, events, timestamps, sample_idx,
+                         tuple(shape))
+    out_shapes = tuple(tuple(flow.shape[2:]) for flow in out[0])
+    return MultiScaleLoss(out_shapes)

@@ -1,0 +1,94 @@
+"""Parity of JAX warp/resize ops against torch (the reference's backend).
+
+torch (CPU build) serves as the behavioural oracle for
+``grid_sample(align_corners=True)`` and
+``F.interpolate(bilinear, align_corners=True)`` — the two ops whose exact
+semantics the reference loss goldens depend on.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+import torch.nn.functional as F  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from dvs_of_training_framework_tpu.ops import grid_sample, resize_bilinear  # noqa: E402
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+@pytest.mark.parametrize('shape', [(2, 1, 16, 24), (1, 3, 7, 5)])
+def test_grid_sample_parity(seed, shape):
+    rng = np.random.default_rng(seed)
+    images = rng.normal(size=shape).astype(np.float32)
+    N, C, H, W = shape
+    # grid spanning in-bounds and out-of-bounds locations
+    grid = rng.uniform(-1.4, 1.4, size=(N, H, W, 2)).astype(np.float32)
+
+    ours = np.asarray(grid_sample(jnp.asarray(images), jnp.asarray(grid)))
+    theirs = F.grid_sample(torch.tensor(images), torch.tensor(grid),
+                           mode='bilinear', padding_mode='zeros',
+                           align_corners=True).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_identity():
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(1, 1, 8, 12)).astype(np.float32)
+    ys, xs = np.mgrid[0:8, 0:12].astype(np.float32)
+    gx = xs / (12 - 1) * 2 - 1
+    gy = ys / (8 - 1) * 2 - 1
+    grid = np.stack([gx, gy], axis=-1)[None]
+    out = np.asarray(grid_sample(jnp.asarray(images), jnp.asarray(grid)))
+    np.testing.assert_allclose(out, images, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('in_shape,out_shape', [
+    ((256, 256), (32, 32)),
+    ((256, 256), (64, 64)),
+    ((246, 340), (123, 170)),
+    ((16, 16), (33, 31)),
+    ((5, 6), (5, 6)),
+])
+def test_resize_parity(in_shape, out_shape):
+    rng = np.random.default_rng(42)
+    images = rng.normal(size=(2, 1, *in_shape)).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(images), out_shape))
+    theirs = F.interpolate(torch.tensor(images), size=out_shape,
+                           mode='bilinear', align_corners=True).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_charbonnier_matches_reference_formula():
+    from dvs_of_training_framework_tpu.ops import charbonnier_loss
+    rng = np.random.default_rng(5)
+    delta = rng.normal(size=(17,)).astype(np.float32)
+    expected = np.mean((delta ** 2 + 1e-3 ** 2) ** 0.45)
+    got = float(charbonnier_loss(jnp.asarray(delta)))
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    # masked variant with empty mask -> 0 (reference numel()==0 early-out)
+    got0 = float(charbonnier_loss(jnp.asarray(delta),
+                                  mask=jnp.zeros(17, dtype=bool)))
+    assert got0 == 0.0
+
+    # denominator variant: sum(charb/denom) over masked elements
+    den = rng.uniform(1, 3, size=(17,)).astype(np.float32)
+    mask = rng.uniform(size=17) > 0.5
+    expected = ((delta ** 2 + 1e-3 ** 2) ** 0.45 / den)[mask].sum()
+    got = float(charbonnier_loss(jnp.asarray(delta), mask=jnp.asarray(mask),
+                                 denominator=jnp.asarray(den)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_get_local_idx():
+    import jax.numpy as jnp
+    from dvs_of_training_framework_tpu.ops import get_local_idx
+    ids = jnp.array([0, 0, 1, 1, 1, 2, 3, 3], dtype=jnp.int32)
+    local, sizes = get_local_idx(ids, 4)
+    assert list(np.asarray(local)) == [0, 1, 0, 1, 2, 0, 0, 1]
+    assert list(np.asarray(sizes)) == [2, 3, 1, 2]
+    # with padding entries (id == num_segments) dropped
+    ids_p = jnp.array([0, 0, 1, 2, 2, 2], dtype=jnp.int32)
+    local, sizes = get_local_idx(ids_p, 2)
+    assert list(np.asarray(sizes)) == [2, 1]
