@@ -1,0 +1,13 @@
+from dvs_of_training_framework_tpu.models.optical_flow import BaseOpticalFlow
+
+from .net import Model, compute_event_image  # noqa: F401
+
+
+class OpticalFlow(BaseOpticalFlow):
+    """Inference wrapper for the EVFlowNet plugin."""
+
+    def __init__(self, imsize, model=None, activation='relu',
+                 event_representation_depth=9, **kwargs):
+        super().__init__(
+            imsize, Model, model=model, activation=activation,
+            event_representation_depth=event_representation_depth, **kwargs)

@@ -1,0 +1,276 @@
+"""EVFlowNet — flagship TPU model plugin.
+
+Capability target: the reference's default EV_FlowNet plugin (an
+encoder-decoder flow network over a learnable event representation, split
+into ``quantization_layer`` + ``predictor`` submodules for two-group
+optimization with delayed representation learning, reference
+train_flownet.py:50-54, 78-109, and offline ``quantize`` export, reference
+scripts/quantize_preprocessed.py:87-91).
+
+TPU-first design decisions:
+
+- events arrive as a fixed-capacity padded ``EventBuffer``; the voxelization
+  is a single fused scatter-add over ``B*L*C*H*W`` bins (XLA scatter; padding
+  events carry an out-of-range sample index and are dropped by the scatter's
+  ``mode='drop'``),
+- the temporal kernel is a small learnable MLP applied per (event, channel)
+  — the "event spike tensor" style learnable representation — vectorised as
+  dense ``[N*C, 1] x [1, K]`` matmuls,
+- the predictor UNet runs NHWC (TPU-native conv layout) with
+  nearest-upsample + conv decoding and 4 flow heads at scales
+  ``imsize / 2^i`` for i = 3..0.
+"""
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvs_of_training_framework_tpu.ops import segment_starts
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def get_activation(name):
+    if callable(name):
+        return name
+    return {'relu': jax.nn.relu, 'mish': mish}[name]
+
+
+class QuantizationLayer(nn.Module):
+    """Learnable event -> voxel-grid representation.
+
+    Produces a ``[B, H, W, L*C]`` grid (NHWC): for each of the ``L`` elements
+    of a sample, ``C = depth`` temporal channels.  Each event contributes
+    ``kernel(t_norm - c/(C-1)) * polarity`` to channel ``c`` at its pixel,
+    where ``t_norm`` normalises the event time into its element's frame
+    window.  ``kernel`` is an MLP initialised near the triangular (bilinear)
+    kernel, so training starts from the classic voxel grid.
+    """
+    depth: int = 9
+    hidden: int = 30
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, events, timestamps, sample_idx, imsize,
+                 num_elements: int, batch_size: int):
+        H, W = imsize
+        C = self.depth
+        L = num_elements
+        E = events.capacity
+
+        # --- element time windows -------------------------------------
+        starts = segment_starts(sample_idx, batch_size)      # [B]
+        valid = events.sample_index < batch_size             # padding mask
+        safe_sample = jnp.clip(events.sample_index, 0, batch_size - 1)
+        safe_elem = jnp.clip(events.element_index, 0, L - 1)
+        ts_base = starts[safe_sample] + safe_elem
+        t0 = timestamps[ts_base]
+        t1 = timestamps[ts_base + 1]
+        denom = jnp.maximum(t1 - t0, 1e-9)
+        t_norm = jnp.clip((events.timestamp - t0) / denom, 0.0, 1.0)  # [E]
+
+        # --- learnable temporal kernel --------------------------------
+        centers = jnp.arange(C, dtype=jnp.float32) / max(C - 1, 1)
+        delta = t_norm[:, None] - centers[None, :]            # [E, C]
+        k_in = delta.reshape(-1, 1).astype(self.dtype)
+        h = nn.Dense(self.hidden, name='kernel_hidden1',
+                     dtype=self.dtype)(k_in)
+        h = jnp.tanh(h)
+        h = nn.Dense(self.hidden, name='kernel_hidden2', dtype=self.dtype)(h)
+        h = jnp.tanh(h)
+        k_out = nn.Dense(1, name='kernel_out', dtype=self.dtype,
+                         kernel_init=nn.initializers.normal(1e-2))(h)
+        # residual triangular kernel: max(0, 1 - |delta|*(C-1)) keeps the
+        # init close to the classic voxel grid while staying learnable
+        tri = jnp.maximum(0.0, 1.0 - jnp.abs(delta) * max(C - 1, 1))
+        weight = tri.astype(self.dtype) + k_out.reshape(E, C)
+
+        value = weight * events.polarity[:, None].astype(self.dtype)
+        value = jnp.where(valid[:, None], value, 0.0)
+
+        # --- fused scatter-add into the voxel grid --------------------
+        # flat bin: (((b * L + e) * H + y) * W + x) * C + c  — channel-minor
+        # so the result reshapes directly to NHWC [B*L, H, W, C].
+        n_bins = batch_size * L * H * W * C
+        pix = (safe_sample * L + safe_elem) * (H * W) \
+            + events.y * W + events.x                         # [E]
+        flat = pix[:, None] * C + jnp.arange(C, dtype=jnp.int32)[None, :]
+        flat = jnp.where(valid[:, None], flat, n_bins)  # padding -> dropped
+        grid = jnp.zeros((n_bins,), self.dtype)
+        grid = grid.at[flat.reshape(-1)].add(value.reshape(-1),
+                                             mode='drop')
+        grid = grid.reshape(batch_size, L, H, W, C)
+        # [B, H, W, L*C]
+        grid = grid.transpose(0, 2, 3, 1, 4).reshape(batch_size, H, W, L * C)
+        return grid
+
+
+class ResBlock(nn.Module):
+    channels: int
+    act: object
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(x)
+        h = self.act(h)
+        h = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(h)
+        return self.act(x + h)
+
+
+class Predictor(nn.Module):
+    """Conv encoder-decoder with 4-scale flow heads (NHWC)."""
+    base_channels: int = 64
+    activation: str = 'relu'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = get_activation(self.activation)
+        b = self.base_channels
+        skips = []
+        # encoder: 4 strided convs
+        for i, ch in enumerate((b, 2 * b, 4 * b, 8 * b)):
+            x = nn.Conv(ch, (3, 3), strides=(2, 2),
+                        dtype=self.dtype, name=f'enc{i}')(x)
+            x = act(x)
+            skips.append(x)
+        # 2 residual blocks at the bottleneck
+        x = ResBlock(8 * b, act, self.dtype, name='res0')(x)
+        x = ResBlock(8 * b, act, self.dtype, name='res1')(x)
+
+        flows = []
+        features = []
+        flow = None
+        dec_channels = (4 * b, 2 * b, b, b // 2)
+        for i, ch in enumerate(dec_channels):
+            B, H, W, _ = x.shape
+            x = jax.image.resize(x, (B, H * 2, W * 2, x.shape[-1]),
+                                 method='nearest')
+            parts = [x]
+            skip_idx = 2 - i  # skips at 1/8, 1/4, 1/2 resolution
+            if skip_idx >= 0:
+                parts.append(skips[skip_idx])
+            if flow is not None:
+                up_flow = jax.image.resize(
+                    flow, (B, H * 2, W * 2, 2), method='nearest') * 2.0
+                parts.append(up_flow.astype(self.dtype))
+            x = jnp.concatenate(parts, axis=-1)
+            x = nn.Conv(ch, (3, 3), dtype=self.dtype, name=f'dec{i}')(x)
+            x = act(x)
+            features.append(x)
+            flow = nn.Conv(2, (1, 1), dtype=jnp.float32,
+                           kernel_init=nn.initializers.normal(1e-3),
+                           name=f'flow{i}')(x.astype(jnp.float32))
+            flows.append(flow)
+        return flows, features
+
+
+class Model(nn.Module):
+    """Flagship plugin model; see the plugin contract in models/loader.py."""
+    prefix_length: int = 0
+    suffix_length: int = 0
+    max_sequence_length: int = 1
+    dynamic_sample_length: bool = False
+    event_representation_depth: int = 9
+    activation: str = 'relu'
+    base_channels: int = 64
+    dtype: str = 'float32'
+
+    def setup(self):
+        dtype = jnp.dtype(self.dtype)
+        self.quantization_layer = QuantizationLayer(
+            depth=self.event_representation_depth, dtype=dtype)
+        self.predictor = Predictor(base_channels=self.base_channels,
+                                   activation=self.activation,
+                                   dtype=dtype)
+
+    def _batch_size(self, timestamps):
+        num_timestamps = self.max_sequence_length + 1
+        assert timestamps.shape[0] % num_timestamps == 0, \
+            'timestamps must hold (sequence_length + 1) entries per sample'
+        return timestamps.shape[0] // num_timestamps
+
+    def quantize(self, events, timestamps, sample_idx, imsize):
+        """Bake the learned representation into a dense [B, L*C, H, W]."""
+        batch_size = self._batch_size(timestamps)
+        grid = self.quantization_layer(events, timestamps, sample_idx,
+                                       tuple(imsize),
+                                       self.max_sequence_length, batch_size)
+        return grid.transpose(0, 3, 1, 2).astype(jnp.float32)  # NCHW
+
+    def __call__(self,
+                 events,
+                 timestamps: jnp.ndarray,
+                 sample_idx: jnp.ndarray,
+                 imsize: Tuple[int, int],
+                 raw: bool = True,
+                 intermediate: bool = False):
+        imsize = tuple(imsize)
+        batch_size = self._batch_size(timestamps)
+        L = self.max_sequence_length
+
+        if raw:
+            grid = self.quantization_layer(events, timestamps, sample_idx,
+                                           imsize, L, batch_size)
+        else:
+            # dense input [B, L*C, H, W] (quantized pipeline) -> NHWC
+            grid = jnp.transpose(events, (0, 2, 3, 1))
+            grid = grid.astype(jnp.dtype(self.dtype))
+
+        flows_nhwc, features = self.predictor(grid)
+        flows = tuple(jnp.transpose(f, (0, 3, 1, 2)) for f in flows_nhwc)
+
+        starts = segment_starts(sample_idx, batch_size)
+        flow_ts = jnp.stack(
+            [timestamps[starts + self.prefix_length],
+             timestamps[starts + self.prefix_length + 1]], axis=1)
+        flow_sample_idx = jnp.arange(batch_size, dtype=jnp.int32)
+
+        if intermediate:
+            return flows, flow_ts, flow_sample_idx, tuple(features)
+        return flows, flow_ts, flow_sample_idx
+
+
+def compute_event_image(events, start_ts, stop_ts, shape, depth=9,
+                        **_ignored):
+    """Host-side event->image conversion for the --ev_images pipeline.
+
+    NumPy analogue of the quantization layer with the fixed triangular
+    kernel (the representation the learnable kernel is initialised to).
+
+    Args:
+        events: float32 ``[N, 5]`` rows ``(x, y, t, p, element_index)``.
+        start_ts, stop_ts: per-element window bounds, each ``[L]``.
+        shape: (H, W).
+        depth: channels per element.
+
+    Returns:
+        float32 ``[L, depth, H, W]`` dense representation.
+    """
+    H, W = shape
+    L = len(start_ts)
+    C = depth
+    out = np.zeros((L, C, H, W), np.float32)
+    x = events[:, 0].astype(np.int64)
+    y = events[:, 1].astype(np.int64)
+    t = events[:, 2]
+    p = events[:, 3]
+    e = events[:, 4].astype(np.int64)
+    start_ts = np.asarray(start_ts)
+    stop_ts = np.asarray(stop_ts)
+    denom = np.maximum(stop_ts[e] - start_ts[e], 1e-9)
+    t_norm = np.clip((t - start_ts[e]) / denom, 0.0, 1.0)
+    centers = np.arange(C, dtype=np.float32) / max(C - 1, 1)
+    weight = np.maximum(0.0, 1.0 - np.abs(t_norm[:, None] - centers[None])
+                        * max(C - 1, 1))
+    values = weight * p[:, None]
+    flat = (((e[:, None] * C + np.arange(C)[None]) * H + y[:, None]) * W
+            + x[:, None])
+    np.add.at(out.reshape(-1), flat.reshape(-1).astype(np.int64),
+              values.reshape(-1))
+    return out

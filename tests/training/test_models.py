@@ -1,0 +1,128 @@
+"""Model plugin contract: forward shapes, voxelization, plugin loading."""
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvs_of_training_framework_tpu.data.schema import pad_events
+from dvs_of_training_framework_tpu.models import (filter_kwargs,
+                                                 load_model_class)
+
+REPO = Path(__file__).resolve().parents[2]
+
+
+def make_inputs(batch_size=2, seq_length=1, n_events=64, imsize=(32, 48),
+                capacity=128, seed=0):
+    rng = np.random.default_rng(seed)
+    H, W = imsize
+    num_ts = seq_length + 1
+    per_sample = np.linspace(0, 0.04 * seq_length, num_ts)
+    timestamps = np.tile(per_sample, batch_size).astype(np.float32)
+    sample_idx = np.repeat(np.arange(batch_size), num_ts).astype(np.int32)
+    ev = {
+        'x': rng.integers(0, W, n_events),
+        'y': rng.integers(0, H, n_events),
+        'timestamp': rng.uniform(0, 0.04 * seq_length, n_events)
+        .astype(np.float32),
+        'polarity': rng.choice([-1.0, 1.0], n_events),
+        'element_index': rng.integers(0, seq_length, n_events),
+        'sample_index': np.sort(rng.integers(0, batch_size, n_events)),
+    }
+    events = pad_events(ev, batch_size, capacity)
+    return events, jnp.asarray(timestamps), jnp.asarray(sample_idx), imsize
+
+
+@pytest.mark.parametrize('plugin', ['DummyFlowNet', 'EVFlowNet'])
+def test_forward_contract(plugin):
+    module = load_model_class(REPO / plugin)
+    kwargs = filter_kwargs(module.Model, dict(
+        prefix_length=0, suffix_length=0, max_sequence_length=1,
+        dynamic_sample_length=False, event_representation_depth=4,
+        activation='relu', base_channels=8))
+    model = module.Model(**kwargs)
+    events, timestamps, sample_idx, imsize = make_inputs()
+    params = model.init(jax.random.PRNGKey(0), events, timestamps,
+                        sample_idx, imsize)['params']
+    flows, flow_ts, flow_sample_idx, features = model.apply(
+        {'params': params}, events, timestamps, sample_idx, imsize,
+        intermediate=True)
+    assert len(flows) == 4
+    H, W = imsize
+    for i, flow in enumerate(flows):
+        scale = 2 ** (3 - i)
+        assert flow.shape == (2, 2, H // scale, W // scale), i
+    assert flow_ts.shape == (2, 2)
+    assert (np.asarray(flow_sample_idx) == np.arange(2)).all()
+    # flow_ts rows must equal each sample's (start, stop) timestamps
+    assert np.allclose(np.asarray(flow_ts),
+                       np.asarray(timestamps).reshape(2, 2))
+
+
+def test_dummy_zero_flow():
+    module = load_model_class(REPO / 'DummyFlowNet')
+    model = module.Model()
+    events, timestamps, sample_idx, imsize = make_inputs()
+    params = model.init(jax.random.PRNGKey(0), events, timestamps,
+                        sample_idx, imsize)['params']
+    flows, _, _ = model.apply({'params': params}, events, timestamps,
+                              sample_idx, imsize)
+    for flow in flows:
+        assert float(jnp.abs(flow).max()) == 0.0
+
+
+def test_quantization_matches_host_event_image():
+    """With a zeroed kernel MLP the voxel grid equals the host-side
+    triangular-kernel event image (compute_event_image)."""
+    module = load_model_class(REPO / 'EVFlowNet')
+    depth = 5
+    model = module.Model(event_representation_depth=depth, base_channels=8)
+    events, timestamps, sample_idx, imsize = make_inputs(
+        batch_size=2, n_events=64, capacity=64)  # no padding slack
+    params = model.init(jax.random.PRNGKey(0), events, timestamps,
+                        sample_idx, imsize)['params']
+    # zero the learnable residual -> pure triangular kernel
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    params['quantization_layer']['kernel_out']['kernel'] = \
+        jnp.zeros_like(params['quantization_layer']['kernel_out']['kernel'])
+    params['quantization_layer']['kernel_out']['bias'] = \
+        jnp.zeros_like(params['quantization_layer']['kernel_out']['bias'])
+
+    grid = model.apply({'params': params}, events, timestamps, sample_idx,
+                       imsize, method=model.quantize)
+    assert grid.shape == (2, depth, *imsize)
+
+    # host-side computation per sample
+    ev = events
+    x = np.asarray(ev.x)
+    y = np.asarray(ev.y)
+    t = np.asarray(ev.timestamp)
+    p = np.asarray(ev.polarity)
+    e = np.asarray(ev.element_index)
+    s = np.asarray(ev.sample_index)
+    ts = np.asarray(timestamps)
+    for b in range(2):
+        m = s == b
+        rows = np.stack([x[m], y[m], t[m], p[m], e[m]], axis=1) \
+            .astype(np.float32)
+        block = ts[b * 2:(b + 1) * 2]
+        host = module.compute_event_image(rows, block[:-1], block[1:],
+                                          imsize, depth=depth)
+        np.testing.assert_allclose(np.asarray(grid[b]), host[0],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_optical_flow_wrapper():
+    import importlib
+    plugin = importlib.import_module('DummyFlowNet')
+    of = plugin.OpticalFlow((32, 48), event_capacity=4096)
+    rng = np.random.default_rng(0)
+    n = 37
+    window = np.stack([rng.integers(0, 48, n), rng.integers(0, 32, n),
+                       np.sort(rng.uniform(5.0, 5.1, n)),
+                       rng.choice([-1, 1], n)]).astype(np.float64)
+    flow = of([window], [5.0], [5.1])
+    assert flow.shape == (1, 32, 48, 2)
+    all_scales = of([window], [5.0], [5.1], return_all=True)
+    assert len(all_scales) == 4
