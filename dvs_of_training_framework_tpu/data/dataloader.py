@@ -1,0 +1,200 @@
+"""Dataloader facade: raw vs preprocessed, train vs val parameterisation.
+
+Mirrors the reference facade (utils/dataloader.py): the hardcoded MVSEC
+split (train = outdoor_day2, val = outdoor_day1), docker-aware data roots,
+and the raw-DataLoader / PreprocessedDataloader choice.  Host batch
+assembly replaces torch's DataLoader with a thread-pooled loader
+(HDF5/NumPy release the GIL for the heavy parts) plus a bounded prefetch
+queue that keeps the TPU fed.
+"""
+import itertools
+from pathlib import Path
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from types import SimpleNamespace
+
+from ..utils.common import is_inside_docker
+from .collate import collate_wrapper
+from .dataset import Dataset, IterableDataset
+from .preprocessed import PreprocessedDataloader
+
+script_dir = Path(__file__).resolve().parent.parent.parent
+
+
+def choose_data_path(args):
+    """Set args.data_path to the MVSEC training-data root."""
+    if is_inside_docker():
+        data_path = Path('/data/training/mvsec')
+    else:
+        base_dir = (script_dir / '..').resolve()
+        data_path = base_dir / 'data' / 'training' / 'mvsec'
+    args.data_path = data_path
+    return args
+
+
+def get_common_dataset_params(args):
+    return SimpleNamespace(
+        shape=args.shape,
+        batch_size=args.mbs,
+        num_workers=args.num_workers,
+        min_seq_length=args.min_sequence_length,
+        max_seq_length=args.max_sequence_length,
+        is_static_seq_length=not args.dynamic_sample_length)
+
+
+def get_trainset_params(args):
+    params = get_common_dataset_params(args)
+    params.path = args.data_path / 'outdoor_day2'
+    params.augmentation = True
+    params.collapse_length = args.cl
+    params.shuffle = True
+    params.infinite = True
+    params.is_raw = args.is_raw
+    params.event_image_fn = None
+    params.preprocessed_dataset_path = getattr(
+        args, 'preprocessed_dataset_path', None)
+    params.cache_dir = getattr(args, 'cache_dir', None)
+    params.cache_size = getattr(args, 'cache_size', 0)
+    return params
+
+
+def get_valset_params(args):
+    params = get_common_dataset_params(args)
+    params.path = args.data_path / 'outdoor_day1'
+    params.augmentation = False
+    params.collapse_length = 1
+    params.shuffle = False
+    params.infinite = False
+    params.is_raw = True  # only raw events are used for validation
+    params.preprocessed_dataset_path = None
+    params.cache_dir = None
+    params.cache_size = 0
+    return params
+
+
+class HostDataLoader:
+    """Collated batch loader with worker threads + prefetch.
+
+    For a finite dataset iterates once; for an IterableDataset streams
+    forever.  ``num_workers`` threads load/augment samples concurrently;
+    up to ``prefetch`` collated batches are staged ahead.
+    """
+
+    def __init__(self, dataset, batch_size, collate_fn=collate_wrapper,
+                 num_workers=0, prefetch=2, drop_last=False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.num_workers = max(0, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.drop_last = drop_last
+        self.infinite = not hasattr(dataset, '__len__')
+
+    def __len__(self):
+        if self.infinite:
+            raise TypeError('infinite loader has no length')
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batched_samples(self):
+        if self.infinite:
+            indices = self.dataset.index_stream()
+            impl = self.dataset.impl
+        else:
+            indices = iter(range(len(self.dataset)))
+            impl = self.dataset
+        if self.num_workers > 0:
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                samples = _lazy_map(pool, impl.__getitem__, indices,
+                                    window=2 * self.num_workers)
+                yield from self._batches_from(samples)
+        else:
+            yield from self._batches_from(impl[i] for i in indices)
+
+    def _batches_from(self, samples):
+        while True:
+            chunk = list(itertools.islice(samples, self.batch_size))
+            if not chunk:
+                return
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield self.collate_fn(chunk)
+            if len(chunk) < self.batch_size:
+                return
+
+    def __iter__(self):
+        if self.prefetch <= 1:
+            yield from self._batched_samples()
+            return
+        q = queue.Queue(self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._batched_samples():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
+
+
+def _lazy_map(pool, fn, it, window):
+    """Pool map with a bounded in-flight window (safe for infinite
+    iterators, unlike ``Executor.map`` which consumes eagerly)."""
+    from collections import deque
+    futures = deque()
+    try:
+        for _ in range(window):
+            futures.append(pool.submit(fn, next(it)))
+    except StopIteration:
+        pass
+    while futures:
+        result = futures.popleft().result()
+        try:
+            futures.append(pool.submit(fn, next(it)))
+        except StopIteration:
+            pass
+        yield result
+
+
+def get_dataset(params, event_image_fn=None):
+    kwargs = {'path': params.path,
+              'shape': params.shape,
+              'augmentation': params.augmentation,
+              'collapse_length': params.collapse_length,
+              'is_raw': params.is_raw,
+              'min_seq_length': params.min_seq_length,
+              'max_seq_length': params.max_seq_length,
+              'is_static_seq_length': params.is_static_seq_length,
+              'event_image_fn': event_image_fn}
+    if params.infinite:
+        return IterableDataset(shuffle=params.shuffle, **kwargs)
+    return Dataset(**kwargs)
+
+
+def get_dataloader(params, sample_idx=0, process_only_once=True,
+                   event_image_fn=None):
+    """Build the loader described by ``params`` (see get_*set_params)."""
+    if params.preprocessed_dataset_path is not None:
+        loader = PreprocessedDataloader(
+            path=params.preprocessed_dataset_path,
+            batch_size=params.batch_size,
+            is_raw=params.is_raw,
+            cache_dir=params.cache_dir,
+            cache_size=params.cache_size,
+            process_only_once=process_only_once)
+        loader.set_index(sample_idx)
+        return loader
+    return HostDataLoader(get_dataset(params, event_image_fn),
+                          batch_size=params.batch_size,
+                          num_workers=params.num_workers)

@@ -235,17 +235,22 @@ class IterableDataset:
         self._shuffle = kwargs.pop('shuffle', False)
         self._dataset = DatasetImpl(**kwargs)
 
-    def __iter__(self):
-        def iterate(dataset, start, end, shuffle):
-            shuffle_fun = random.shuffle if shuffle else (lambda x: None)
-            order = list(range(start, end))
-            shuffle_fun(order)
-            i = 0
-            while True:
-                yield dataset[order[i]]
-                i += 1
-                if i == len(order):
-                    i = 0
-                    shuffle_fun(order)
+    @property
+    def impl(self):
+        return self._dataset
 
-        return iterate(self._dataset, 0, len(self._dataset), self._shuffle)
+    def index_stream(self):
+        """Infinite stream of (re)shuffled dataset indices."""
+        shuffle_fun = random.shuffle if self._shuffle else (lambda x: None)
+        order = list(range(len(self._dataset)))
+        shuffle_fun(order)
+        i = 0
+        while True:
+            yield order[i]
+            i += 1
+            if i == len(order):
+                i = 0
+                shuffle_fun(order)
+
+    def __iter__(self):
+        return (self._dataset[i] for i in self.index_stream())

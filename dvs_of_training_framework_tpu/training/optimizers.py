@@ -1,0 +1,188 @@
+"""Optimizer construction: ADAM(W+amsgrad), RADAM, RANGER as optax chains.
+
+Parity targets: reference train_flownet.py:57-109.
+
+- ADAM   -> AdamW with amsgrad (torch ``AdamW(amsgrad=True)``)
+- RADAM  -> rectified Adam (the RAdam submodule)
+- RANGER -> RAdam + gradient centralization + Lookahead (the
+  Ranger-Deep-Learning-Optimizer submodule's defaults: sync_period 6,
+  slow step 0.5, GC for parameters with >1 dimension)
+
+Two parameter groups are supported when the model exposes a
+``quantization_layer`` submodule: the representation group's learning rate
+stays 0 for the first ``representation_start`` fraction of training
+(reference construct_train_tools, train_flownet.py:78-109), both groups then
+follow warmup + exponential half-life decay.
+
+Lookahead is implemented as a self-contained gradient transformation holding
+the slow weights in its optimizer state, so checkpoints capture them and
+resume is exact (the "lookahead slow weights interact with resume" hazard
+called out in SURVEY.md §7).
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def make_lr_schedule(lr, num_warmup_steps, half_life, delay_steps=0):
+    """Warmup + exponential half-life decay, optionally delayed to 0.
+
+    Matches reference pred_scheduler/repr_scheduler
+    (train_flownet.py:91-99): ``step/warmup`` ramp, then
+    ``2 ** (-(step - warmup) / half_life)``; the delayed variant returns 0
+    until ``delay_steps``.
+    """
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        if num_warmup_steps > 0:
+            warm = step / num_warmup_steps
+        else:
+            warm = jnp.ones_like(step)
+        decay = jnp.exp2(-(step - num_warmup_steps) / half_life)
+        value = jnp.where(step < num_warmup_steps, warm, decay) * lr
+        if delay_steps > 0:
+            value = jnp.where(step > delay_steps, value, 0.0)
+        return value
+    return schedule
+
+
+class LookaheadState(NamedTuple):
+    slow_params: optax.Params
+    step: jnp.ndarray
+    inner_state: optax.OptState
+
+
+def lookahead(inner: optax.GradientTransformation,
+              sync_period: int = 6,
+              slow_step_size: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead wrapper keeping slow weights inside the optimizer state.
+
+    Every ``sync_period`` inner steps the fast weights are pulled toward the
+    slow weights: ``slow += alpha * (fast - slow); fast = slow``.
+    """
+
+    def init_fn(params):
+        # explicit copy: the slow weights must not alias the live params
+        # (aliasing breaks buffer donation of the train state)
+        return LookaheadState(
+            slow_params=jax.tree_util.tree_map(
+                lambda p: jnp.array(p, copy=True), params),
+            step=jnp.zeros([], jnp.int32),
+            inner_state=inner.init(params))
+
+    def update_fn(updates, state, params=None):
+        assert params is not None, 'lookahead requires params'
+        inner_updates, inner_state = inner.update(updates, state.inner_state,
+                                                  params)
+        step = state.step + 1
+        sync = step % sync_period == 0
+
+        fast = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                      inner_updates)
+        synced_slow = jax.tree_util.tree_map(
+            lambda s, f: s + slow_step_size * (f - s),
+            state.slow_params, fast)
+
+        # on sync steps params jump to the updated slow weights;
+        # otherwise they take the fast step and slow weights stay put
+        final_updates = jax.tree_util.tree_map(
+            lambda ss, f, p: jnp.where(sync, ss, f) - p,
+            synced_slow, fast, params)
+        final_slow = jax.tree_util.tree_map(
+            lambda ss, s: jnp.where(sync, ss, s),
+            synced_slow, state.slow_params)
+        return final_updates, LookaheadState(final_slow, step, inner_state)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def gradient_centralization() -> optax.GradientTransformation:
+    """Subtract the per-filter gradient mean for parameters with ndim > 1
+    (Ranger's use_gc=True, gc_conv_only=False)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def center(g):
+            if g.ndim > 1:
+                axes = tuple(range(g.ndim - 1))
+                return g - g.mean(axis=axes, keepdims=True)
+            return g
+        return jax.tree_util.tree_map(center, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _base_transform(name: str, weight_decay: float,
+                    schedule) -> optax.GradientTransformation:
+    """Scale-by chain for one optimizer family + decoupled wd + lr."""
+    name = name.upper()
+    if name == 'ADAM':
+        chain = [optax.scale_by_amsgrad(),
+                 optax.add_decayed_weights(weight_decay),
+                 optax.scale_by_schedule(lambda s: -schedule(s))]
+        return optax.chain(*chain)
+    if name == 'RADAM':
+        chain = [optax.scale_by_radam(),
+                 optax.add_decayed_weights(weight_decay),
+                 optax.scale_by_schedule(lambda s: -schedule(s))]
+        return optax.chain(*chain)
+    if name == 'RANGER':
+        inner = optax.chain(
+            gradient_centralization(),
+            optax.scale_by_radam(),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_schedule(lambda s: -schedule(s)))
+        return lookahead(inner)
+    raise ValueError(f'Unknown optimizer type {name}')
+
+
+def has_split_params(params) -> bool:
+    """Model exposes a quantization_layer submodule (two-group training)."""
+    return isinstance(params, dict) and 'quantization_layer' in params
+
+
+def construct_optimizer(args, params) -> optax.GradientTransformation:
+    """Build the optimizer for a model's params.
+
+    When ``params`` contains a top-level ``quantization_layer`` collection,
+    two groups are created: the representation group's schedule is delayed by
+    ``training_steps * rs`` steps (reference train_flownet.py:78-99).
+    """
+    representation_start = int(getattr(args, 'training_steps', 0)
+                               * getattr(args, 'rs', 0))
+    warmup = getattr(args, 'num_warmup_steps', 0)
+
+    pred_schedule = make_lr_schedule(args.lr, warmup, args.half_life)
+    if not has_split_params(params):
+        return _base_transform(args.optimizer, args.wdw, pred_schedule)
+
+    repr_schedule = make_lr_schedule(args.lr, warmup, args.half_life,
+                                     delay_steps=representation_start)
+    label_fn = (lambda tree: {
+        k: ('representation' if k == 'quantization_layer' else 'predictor')
+        for k in tree})
+    return optax.multi_transform(
+        {'representation': _base_transform(args.optimizer, args.wdw,
+                                           repr_schedule),
+         'predictor': _base_transform(args.optimizer, args.wdw,
+                                      pred_schedule)},
+        label_fn)
+
+
+def current_learning_rates(args, step: int):
+    """Host-side LR readout for logging (General/learning rate/{i})."""
+    warmup = getattr(args, 'num_warmup_steps', 0)
+    pred = make_lr_schedule(args.lr, warmup, args.half_life)
+    out = [float(pred(jnp.asarray(step)))]
+    rs_steps = int(getattr(args, 'training_steps', 0) * getattr(args, 'rs', 0))
+    repr_s = make_lr_schedule(args.lr, warmup, args.half_life,
+                              delay_steps=rs_steps)
+    out.insert(0, float(repr_s(jnp.asarray(step))))
+    return out

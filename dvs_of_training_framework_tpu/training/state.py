@@ -1,0 +1,102 @@
+"""Train state + jitted train/eval step factories.
+
+The reference's hot loop (utils/training.py:89-235) becomes a single jitted
+``train_step``: forward, multi-scale loss, backward, gradient accumulation
+and the (conditional) optimizer update all fuse into one XLA program per
+event-capacity bucket.  Gradient accumulation keeps a gradient-tree
+accumulator inside the state and applies the optimizer every
+``accumulation_steps`` microbatches via ``lax.cond`` — one device program,
+no host round-trips (the reference re-enters Python per microbatch).
+"""
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses import combined_loss
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    grad_acc: Any
+    micro_step: jnp.ndarray
+    step: jnp.ndarray
+
+
+def create_train_state(params, tx: optax.GradientTransformation,
+                       init_step: int = 0) -> TrainState:
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return TrainState(params=params,
+                      opt_state=tx.init(params),
+                      grad_acc=zeros,
+                      micro_step=jnp.zeros([], jnp.int32),
+                      step=jnp.asarray(init_step, jnp.int32))
+
+
+def make_loss_fn(model, evaluator, weights, is_raw: bool) -> Callable:
+    """(params, batch) -> (loss, terms) for a device Batch."""
+    weights = tuple(weights)
+
+    def loss_fn(params, batch):
+        imsize = tuple(batch.images.shape[-2:])
+        events = batch.events if is_raw else batch.data
+        out = model.apply({'params': params}, events, batch.timestamps,
+                          batch.sample_idx, imsize, raw=is_raw,
+                          intermediate=True)
+        flows, flow_ts, flow_sample_idx = out[:3]
+        loss, terms = combined_loss(evaluator, flows, flow_ts,
+                                    flow_sample_idx, batch.images,
+                                    batch.timestamps, batch.sample_idx,
+                                    weights=weights)
+        return loss, terms
+
+    return loss_fn
+
+
+def make_train_step(model, evaluator, tx, weights,
+                    accumulation_steps: int, is_raw: bool = True):
+    """Build the jitted training step.
+
+    Returns ``step_fn(state, batch) -> (state, (loss, terms))`` where loss
+    is already divided by ``accumulation_steps`` (reference
+    utils/training.py:156) and terms are the per-scale values of this
+    microbatch.
+    """
+    loss_fn = make_loss_fn(model, evaluator, weights, is_raw)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def apply_branch(state, acc):
+        updates, new_opt_state = tx.update(acc, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
+        return state.replace(params=new_params,
+                             opt_state=new_opt_state,
+                             grad_acc=zeros,
+                             step=state.step + 1)
+
+    def hold_branch(state, acc):
+        return state.replace(grad_acc=acc)
+
+    def step_fn(state, batch):
+        (loss, terms), grads = grad_fn(state.params, batch)
+        inv = 1.0 / accumulation_steps
+        acc = jax.tree_util.tree_map(
+            lambda a, g: a + g * inv, state.grad_acc, grads)
+        is_boundary = (state.micro_step + 1) % accumulation_steps == 0
+        new_state = jax.lax.cond(is_boundary, apply_branch, hold_branch,
+                                 state, acc)
+        new_state = new_state.replace(micro_step=state.micro_step + 1)
+        return new_state, (loss * inv, terms)
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def make_eval_step(model, evaluator, weights, is_raw: bool = True):
+    """Jitted validation step: (params, batch) -> (loss, terms)."""
+    loss_fn = make_loss_fn(model, evaluator, weights, is_raw)
+    return jax.jit(loss_fn)

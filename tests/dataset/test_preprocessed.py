@@ -1,0 +1,119 @@
+"""PreprocessedDataloader: shard reads, file-boundary batches, seek resume,
+plus a 1-step training smoke test on a preprocessed shard."""
+from pathlib import Path
+
+import numpy as np
+
+from dvs_of_training_framework_tpu.data import codec
+from dvs_of_training_framework_tpu.data.collate import collate_wrapper
+from dvs_of_training_framework_tpu.data.dataset import Dataset
+from dvs_of_training_framework_tpu.data.preprocessed import \
+    PreprocessedDataloader
+from tests.helpers import data_path
+
+REPO = Path(__file__).resolve().parents[2]
+
+
+def write_shards(tmp_path, samples_per_file=3, num_files=2):
+    """Encode fixture samples into multiple shards."""
+    dataset = Dataset(path=data_path, shape=[64, 64], augmentation=False,
+                      collapse_length=1, is_raw=True, max_seq_length=1)
+    out = tmp_path / 'prep'
+    out.mkdir()
+    idx = 0
+    for j in range(num_files):
+        batches = []
+        for _ in range(samples_per_file):
+            batch = collate_wrapper([dataset[idx]])
+            batches.append(codec.encode_batch(**batch))
+            idx += 1
+        codec.write_encoded_batch(out / f'{j}.hdf5',
+                                  codec.join_batches(batches))
+    return out, dataset
+
+
+def test_sequential_batches(tmp_path):
+    out, dataset = write_shards(tmp_path)
+    loader = PreprocessedDataloader(out, batch_size=2, is_raw=True,
+                                    show_progress=False)
+    assert len(loader) == 6
+    batch = next(loader)
+    assert batch['size'] == 2
+    ref = collate_wrapper([dataset[0], dataset[1]])
+    assert (batch['events']['x'] == ref['events']['x']).all()
+    assert np.allclose(batch['events']['timestamp'],
+                       ref['events']['timestamp'], atol=1e-6)
+    assert (batch['images'] == ref['images']).all()
+
+    # second batch spans the file boundary (samples 2,3)
+    batch2 = next(loader)
+    ref2 = collate_wrapper([dataset[2], dataset[3]])
+    assert (batch2['events']['x'] == ref2['events']['x']).all()
+
+
+def test_seek_resume_and_wraparound(tmp_path):
+    out, dataset = write_shards(tmp_path)
+    loader = PreprocessedDataloader(out, batch_size=2, is_raw=True,
+                                    show_progress=False)
+    loader.set_index(4)
+    batch = next(loader)
+    ref = collate_wrapper([dataset[4], dataset[5]])
+    assert (batch['events']['x'] == ref['events']['x']).all()
+    # stream wraps to the beginning
+    batch = next(loader)
+    ref = collate_wrapper([dataset[0], dataset[1]])
+    assert (batch['events']['x'] == ref['events']['x']).all()
+    # seek past the length wraps modulo
+    loader.set_index(7)
+    batch = next(loader)
+    ref = collate_wrapper([dataset[1], dataset[2]])
+    assert (batch['events']['x'] == ref['events']['x']).all()
+
+
+def test_info_sidecars_written(tmp_path):
+    out, _ = write_shards(tmp_path)
+    PreprocessedDataloader(out, batch_size=1, is_raw=True,
+                           show_progress=False)
+    assert (out / '0.info').is_file()
+    assert (out / '1.info').is_file()
+
+
+def test_train_step_on_preprocessed_shard(tmp_path):
+    """1-step smoke training from a preprocessed stream (the reference pins
+    this integration in tests/dataset/test_encoding.py:315-360)."""
+    import jax
+    from dvs_of_training_framework_tpu.losses import MultiScaleLoss
+    from dvs_of_training_framework_tpu.data.schema import pad_batch
+    from dvs_of_training_framework_tpu.models import (filter_kwargs,
+                                                     load_model_class)
+    from dvs_of_training_framework_tpu.training.optimizers import \
+        construct_optimizer
+    from dvs_of_training_framework_tpu.training.state import (
+        create_train_state, make_train_step)
+    from dvs_of_training_framework_tpu.training.train import (shapes2tags,
+                                                              train)
+    from tests.training.test_training import ListLogger, make_args
+
+    out, _ = write_shards(tmp_path)
+    loader = PreprocessedDataloader(out, batch_size=2, is_raw=True,
+                                    show_progress=False)
+    module = load_model_class(REPO / 'DummyFlowNet')
+    model = module.Model(**filter_kwargs(module.Model, {}))
+    batch = pad_batch(next(loader), capacity=2048)
+    params = model.init(jax.random.PRNGKey(0), batch.events,
+                        batch.timestamps, batch.sample_idx,
+                        (64, 64))['params']
+    args = make_args()
+    tx = construct_optimizer(args, params)
+    evaluator = MultiScaleLoss(
+        [(64 // 2 ** i, 64 // 2 ** i) for i in range(4)][::-1])
+    train_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
+                                 accumulation_steps=1, is_raw=True)
+    state = create_train_state(params, tx)
+    loader.set_index(0)
+    state, samples = train(train_step, state, loader, num_steps=1,
+                           logger=ListLogger(),
+                           tags=shapes2tags(evaluator.shapes),
+                           event_capacity=2048)
+    assert int(state.step) == 1
+    assert samples == 2

@@ -1,0 +1,172 @@
+"""End-to-end 1-step training/validation smoke tests on CPU fixtures.
+
+Mirrors the reference integration tests (tests/training/test_training.py
+there): exercises plugin load, optimizer/schedule construction, collate,
+padding, loss, backward, optimizer update, logging — through the real
+train()/validate() entry points.
+"""
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import jax
+import pytest
+
+from dvs_of_training_framework_tpu.data.dataset import Dataset
+from dvs_of_training_framework_tpu.data.dataloader import HostDataLoader
+from dvs_of_training_framework_tpu.losses import MultiScaleLoss
+from dvs_of_training_framework_tpu.training.optimizers import \
+    construct_optimizer
+from dvs_of_training_framework_tpu.training.state import (
+    create_train_state, make_eval_step, make_train_step)
+from dvs_of_training_framework_tpu.training.train import (shapes2tags, train,
+                                                          validate)
+from dvs_of_training_framework_tpu.models import (filter_kwargs,
+                                                 load_model_class)
+from tests.helpers import data_path
+
+REPO = Path(__file__).resolve().parents[2]
+CAPACITY = 2048
+
+
+class ListLogger:
+    def __init__(self):
+        self.scalars = []
+
+    def add_scalar(self, tag, value, step):
+        self.scalars.append((tag, float(value), step))
+
+    def flush(self):
+        pass
+
+
+def make_args(**overrides):
+    args = SimpleNamespace(wdw=0.01,
+                           training_steps=1,
+                           rs=0,
+                           optimizer='ADAM',
+                           lr=0.01,
+                           half_life=1,
+                           num_warmup_steps=0)
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def build(plugin='DummyFlowNet', optimizer='ADAM', base_channels=4,
+          shape=(64, 64)):
+    module = load_model_class(REPO / plugin)
+    kwargs = filter_kwargs(module.Model, dict(
+        prefix_length=0, suffix_length=0, max_sequence_length=1,
+        event_representation_depth=3, activation='relu',
+        base_channels=base_channels))
+    model = module.Model(**kwargs)
+    dataset = Dataset(path=data_path, shape=list(shape),
+                      augmentation=False, collapse_length=1, is_raw=True,
+                      max_seq_length=1)
+    loader = HostDataLoader(dataset, batch_size=2)
+    args = make_args(optimizer=optimizer)
+
+    sample = loader.collate_fn([dataset[0], dataset[1]])
+    from dvs_of_training_framework_tpu.data.schema import pad_batch
+    probe = pad_batch(sample, capacity=CAPACITY)
+    params = model.init(jax.random.PRNGKey(0), probe.events,
+                        probe.timestamps, probe.sample_idx,
+                        tuple(shape))['params']
+    tx = construct_optimizer(args, params)
+
+    shapes = [tuple(x // 2 ** i for x in shape) for i in range(4)][::-1]
+    evaluator = MultiScaleLoss(shapes)
+    return model, params, tx, evaluator, loader, args
+
+
+def test_trainloop():
+    model, params, tx, evaluator, loader, args = build()
+    train_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
+                                 accumulation_steps=1, is_raw=True)
+    state = create_train_state(params, tx)
+    logger = ListLogger()
+    state, samples = train(train_step, state, loader,
+                           num_steps=args.training_steps, logger=logger,
+                           tags=shapes2tags(evaluator.shapes),
+                           event_capacity=CAPACITY)
+    assert int(state.step) == 1
+    assert samples == 2
+    tags = {t for t, _, _ in logger.scalars}
+    assert 'General/Train loss' in tags
+    assert any(t.startswith('Train/photometric loss/') for t in tags)
+
+
+def test_train_updates_params():
+    model, params, tx, evaluator, loader, args = build(plugin='EVFlowNet')
+    train_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
+                                 accumulation_steps=1, is_raw=True)
+    state = create_train_state(params, tx)
+    logger = ListLogger()
+    before = jax.tree_util.tree_map(np.asarray, params)
+    state, _ = train(train_step, state, loader, num_steps=1, logger=logger,
+                     tags=shapes2tags(evaluator.shapes),
+                     event_capacity=CAPACITY)
+    after = jax.tree_util.tree_map(np.asarray, state.params)
+    leaves_before = jax.tree_util.tree_leaves(before)
+    leaves_after = jax.tree_util.tree_leaves(after)
+    changed = any((a != b).any() for a, b in zip(leaves_after,
+                                                 leaves_before))
+    assert changed, 'optimizer step must move parameters'
+
+
+def test_gradient_accumulation_matches_large_batch():
+    """accum=2 with mbs=1 must apply exactly one optimizer step after two
+    microbatches."""
+    model, params, tx, evaluator, loader, args = build()
+    train_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
+                                 accumulation_steps=2, is_raw=True)
+    state = create_train_state(params, tx)
+    dataset = loader.dataset
+    single_loader = HostDataLoader(dataset, batch_size=2)
+    logger = ListLogger()
+    state, _ = train(train_step, state, single_loader, num_steps=1,
+                     logger=logger, tags=shapes2tags(evaluator.shapes),
+                     accumulation_steps=2, event_capacity=CAPACITY)
+    assert int(state.step) == 1
+    assert int(state.micro_step) == 2
+
+
+def test_validation():
+    model, params, tx, evaluator, loader, args = build()
+    eval_step = make_eval_step(model, evaluator, [0.5, 1, 1], is_raw=True)
+    logger = ListLogger()
+    loss = validate(eval_step, params, loader, samples_passed=0,
+                    logger=logger, tags=shapes2tags(evaluator.shapes),
+                    event_capacity=CAPACITY)
+    assert np.isfinite(loss)
+    tags = {t for t, _, _ in logger.scalars}
+    assert 'General/Validation loss' in tags
+
+
+@pytest.mark.parametrize('optimizer', ['ADAM', 'RADAM', 'RANGER'])
+def test_optimizers_step(optimizer):
+    model, params, tx, evaluator, loader, args = build(optimizer=optimizer)
+    train_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
+                                 accumulation_steps=1, is_raw=True)
+    state = create_train_state(params, tx)
+    logger = ListLogger()
+    state, _ = train(train_step, state, loader, num_steps=1, logger=logger,
+                     tags=shapes2tags(evaluator.shapes),
+                     event_capacity=CAPACITY)
+    assert int(state.step) == 1
+
+
+def test_oversized_batch_skipped():
+    model, params, tx, evaluator, loader, args = build()
+    train_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
+                                 accumulation_steps=1, is_raw=True)
+    state = create_train_state(params, tx)
+    logger = ListLogger()
+    # capacity of 1 event -> every fixture batch is skipped
+    state, samples = train(train_step, state, loader, num_steps=1,
+                           logger=logger,
+                           tags=shapes2tags(evaluator.shapes),
+                           event_capacity=1)
+    assert int(state.step) == 0
+    assert samples == 0

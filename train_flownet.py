@@ -1,0 +1,202 @@
+#!/usr/bin/env python3
+"""Training CLI — composition root.
+
+TPU-native counterpart of the reference train_flownet.py: parses the shared
+option groups, builds model/optimizer/losses/hooks/loader, resumes from the
+newest checkpoint (parameters, optimizer state, samples_passed, and the data
+stream position), and runs the jitted training loop.
+"""
+from argparse import ArgumentParser
+import os
+from pathlib import Path
+import sys
+
+from dvs_of_training_framework_tpu.utils.options import (
+    add_train_arguments, add_preprocessed_dataset_arguments,
+    validate_train_args)
+
+script_dir = Path(__file__).resolve().parent
+
+
+def parse_args(args, is_write=True):
+    parser = ArgumentParser()
+    parser = add_train_arguments(parser)
+    parser = add_preprocessed_dataset_arguments(parser)
+
+    args = parser.parse_args(args)
+    args = validate_train_args(args)
+    if args.device:
+        os.environ.setdefault('JAX_PLATFORMS', args.device)
+
+    from dvs_of_training_framework_tpu.data.dataloader import choose_data_path
+    from dvs_of_training_framework_tpu.utils.common import (
+        collect_execution_info, check_execution_info, write_execution_info)
+
+    args = choose_data_path(args)
+    args.model.mkdir(exist_ok=True, parents=True)
+    args.log_path = args.model / 'log'
+
+    execution_info = collect_execution_info(args)
+    check_execution_info(args.model, execution_info, args)
+    if is_write:
+        write_execution_info(args.model, execution_info)
+    return args
+
+
+def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
+                 event_image_fn=None):
+    """Periodic hooks: serialization every checkpointing_interval,
+    validation every vp (reference train_flownet.py:112-126)."""
+    from dvs_of_training_framework_tpu.data.dataloader import (
+        get_dataloader, get_valset_params)
+    from dvs_of_training_framework_tpu.training.hooks import (
+        SerializationHook, ValidationHook)
+    from dvs_of_training_framework_tpu.training.train import \
+        make_hook_periodic
+
+    hooks = {'serialization': SerializationHook(
+        serializer, lambda: state_holder['state'], logger)}
+    periods = {'serialization': args.checkpointing_interval}
+    if not args.skip_validation:
+        def loader_factory():
+            return get_dataloader(get_valset_params(args),
+                                  event_image_fn=event_image_fn)
+        hooks['validation'] = ValidationHook(
+            eval_step, lambda: state_holder['state'].params,
+            loader_factory, logger, tags, is_raw=True,
+            event_capacity=args.event_capacity)
+        periods['validation'] = args.vp
+    periodic_hooks = {k: make_hook_periodic(hooks[k], periods[k])
+                      for k in periods}
+    return periodic_hooks, hooks
+
+
+def main(argv=None):
+    args = parse_args(sys.argv[1:] if argv is None else argv)
+
+    import jax
+    from dvs_of_training_framework_tpu.data.dataloader import (
+        get_dataloader, get_trainset_params)
+    from dvs_of_training_framework_tpu.losses import init_losses
+    from dvs_of_training_framework_tpu.models import init_model
+    from dvs_of_training_framework_tpu.training.optimizers import (
+        construct_optimizer, current_learning_rates)
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    from dvs_of_training_framework_tpu.training.state import (
+        create_train_state, make_eval_step, make_train_step)
+    from dvs_of_training_framework_tpu.training.train import (
+        shapes2tags, train)
+    from dvs_of_training_framework_tpu.utils.monitor import DeviceMonitor
+    from dvs_of_training_framework_tpu.utils.profiling import Profiler
+    from dvs_of_training_framework_tpu.utils.tb import SummaryWriter
+    from dvs_of_training_framework_tpu.utils.timer import (
+        FakeTimer, SynchronizedWallClockTimer)
+
+    timers = SynchronizedWallClockTimer() if args.timers else FakeTimer()
+
+    model, params = init_model(args, jax.random.PRNGKey(0))
+
+    serializer = Serializer(args.model,
+                            args.num_checkpoints,
+                            args.permanent_interval)
+
+    args.do_not_continue = (args.do_not_continue
+                            or len(serializer.list_known_steps()) == 0)
+    last_step = (0 if args.do_not_continue
+                 else serializer.list_known_steps()[-1])
+
+    tx = construct_optimizer(args, params)
+
+    evaluator = init_losses(
+        args.shape, args.bs,
+        lambda p, e, t, s, i: model.apply({'params': p}, e, t, s, i),
+        params,
+        sequence_length=args.prefix_length + args.suffix_length + 1)
+    tags = shapes2tags(evaluator.shapes)
+
+    logger = SummaryWriter(str(args.log_path))
+
+    train_step = make_train_step(model, evaluator, tx, args.loss_weights,
+                                 args.accum_step, is_raw=args.is_raw)
+    eval_step = make_eval_step(model, evaluator, args.loss_weights,
+                               is_raw=True)
+
+    state = create_train_state(params, tx)
+    state_holder = {'state': state}
+
+    event_image_fn = None
+    if not args.is_raw:
+        from dvs_of_training_framework_tpu.models.loader import \
+            load_model_class
+        net = load_model_class(args.flownet_path)
+        depth = args.event_representation_depth
+
+        def event_image_fn(events, start_ts, stop_ts, shape):
+            return net.compute_event_image(events, start_ts, stop_ts, shape,
+                                           depth=depth)
+
+    periodic_hooks, hooks = create_hooks(args, serializer, state_holder,
+                                         eval_step, logger, tags,
+                                         event_image_fn)
+
+    if not args.do_not_continue:
+        global_step, ckpt_params, opt_state, extra = \
+            serializer.load_checkpoint(last_step,
+                                       params_target=state.params,
+                                       opt_state_target=state.opt_state)
+        state = state.replace(params=ckpt_params, opt_state=opt_state,
+                              step=global_step)
+        samples_passed = int(extra.pop('samples_passed',
+                                       global_step * args.bs))
+        state_holder['state'] = state
+    else:
+        global_step = 0
+        samples_passed = 0
+        state_holder['state'] = state
+        hooks['serialization'](global_step, samples_passed)
+
+    loader = get_dataloader(get_trainset_params(args),
+                            sample_idx=samples_passed,
+                            process_only_once=args.process_only_once,
+                            event_image_fn=event_image_fn)
+
+    if not args.skip_validation:
+        hooks['validation'](global_step, samples_passed)
+
+    def on_state_update(s):
+        state_holder['state'] = s
+
+    def lr_fn(step):
+        return current_learning_rates(args, step)
+
+    with Profiler(args.profiling, args.model / 'profiling'), \
+            DeviceMonitor(args.log_path):
+        state, samples_passed = train(
+            train_step,
+            state,
+            loader,
+            args.training_steps,
+            logger=logger,
+            tags=tags,
+            lr_fn=lr_fn,
+            weights=args.loss_weights,
+            is_raw=args.is_raw,
+            accumulation_steps=args.accum_step,
+            event_capacity=args.event_capacity,
+            timers=timers,
+            hooks=periodic_hooks,
+            init_step=global_step,
+            init_samples_passed=samples_passed,
+            max_events_per_batch=args.max_events_per_batch,
+            on_state_update=on_state_update)
+
+    state_holder['state'] = state
+    samples = samples_passed
+    hooks['serialization'](args.training_steps, samples)
+    if not args.skip_validation:
+        hooks['validation'](args.training_steps, samples)
+    logger.close()
+
+
+if __name__ == '__main__':
+    main()
