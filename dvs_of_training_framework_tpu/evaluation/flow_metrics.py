@@ -1,0 +1,141 @@
+"""MVSEC optical-flow benchmark math: AEE / %AEE and GT flow propagation.
+
+Reference: utils/eval.py.  The ground-truth flow maps are asynchronous with
+the grayscale frames, so GT displacement between two frame timestamps is
+obtained by iteratively propagating pixel positions through the intermediate
+GT flows (nearest-neighbour remapping, implemented in NumPy — no OpenCV
+dependency).
+"""
+import numpy as np
+
+
+def flow_error_dense(flow_gt, flow_pred, event_img, is_car=False,
+                     is_dense=False):
+    """Average endpoint error over event-active, valid-GT pixels.
+
+    Args:
+        flow_gt: ``[H, W, 2]`` ground-truth displacement.
+        flow_pred: ``[H, W, 2]`` prediction.
+        event_img: per-pixel event counts; pixels without events are
+            excluded unless ``is_dense``.
+        is_car: evaluate only the top 190 rows (crops the car hood absent
+            from GT).
+
+    Returns:
+        (AEE, fraction of masked pixels with EE < 3 px, n_points)
+    """
+    max_row = flow_gt.shape[1]
+    if is_car:
+        max_row = 190
+
+    event_img_cropped = np.squeeze(event_img)[:max_row, :]
+    flow_gt_cropped = flow_gt[:max_row, :, :]
+    flow_pred_cropped = flow_pred[:max_row, :, :]
+
+    if is_dense:
+        event_mask = np.ones(event_img_cropped.shape, dtype=bool)
+    else:
+        event_mask = event_img_cropped > 0
+
+    # valid GT: finite and non-zero
+    flow_mask = np.logical_and(
+        np.logical_and(~np.isinf(flow_gt_cropped[:, :, 0]),
+                       ~np.isinf(flow_gt_cropped[:, :, 1])),
+        np.linalg.norm(flow_gt_cropped, axis=2) > 0)
+    total_mask = np.squeeze(np.logical_and(event_mask, flow_mask))
+
+    gt_masked = flow_gt_cropped[total_mask, :]
+    pred_masked = flow_pred_cropped[total_mask, :]
+
+    EE = np.linalg.norm(gt_masked - pred_masked, axis=-1)
+    n_points = EE.shape[0]
+    AEE = np.mean(EE) if n_points else 0.0
+
+    thresh = 3.0
+    percent_AEE = float((EE < thresh).sum()) / float(EE.shape[0] + 1e-5)
+    return AEE, percent_AEE, n_points
+
+
+def _remap_nearest(src, mapx, mapy):
+    """NumPy equivalent of cv2.remap(..., INTER_NEAREST) with zero border."""
+    H, W = src.shape[:2]
+    xi = np.rint(mapx).astype(np.int64)
+    yi = np.rint(mapy).astype(np.int64)
+    inside = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    xi = np.clip(xi, 0, W - 1)
+    yi = np.clip(yi, 0, H - 1)
+    out = src[yi, xi]
+    out[~inside] = 0
+    return out.astype(src.dtype)
+
+
+def prop_flow(x_flow, y_flow, x_indices, y_indices, x_mask, y_mask,
+              scale_factor=1.0):
+    """Advance pixel positions by the flow sampled at their locations.
+
+    Positions whose sampled flow is exactly 0 are masked out (matching the
+    reference's treatment of the invalid-flow sentinel).
+    Mutates ``x_indices/y_indices/x_mask/y_mask`` in place.
+    """
+    flow_x_interp = _remap_nearest(x_flow, x_indices, y_indices)
+    flow_y_interp = _remap_nearest(y_flow, x_indices, y_indices)
+
+    x_mask[flow_x_interp == 0] = False
+    y_mask[flow_y_interp == 0] = False
+
+    x_indices += flow_x_interp * scale_factor
+    y_indices += flow_y_interp * scale_factor
+
+
+def estimate_corresponding_gt_flow(x_flow_in, y_flow_in, gt_timestamps,
+                                   start_time, end_time):
+    """GT displacement between ``start_time`` and ``end_time``.
+
+    Each stored GT flow covers [gt_ts[i], gt_ts[i+1]].  If the requested
+    window sits inside one GT interval the flow is linearly scaled;
+    otherwise pixel positions are chained through every intermediate GT
+    flow and the net displacement returned.
+    """
+    gt_iter = np.searchsorted(gt_timestamps, start_time, side='right') - 1
+    gt_dt = gt_timestamps[gt_iter + 1] - gt_timestamps[gt_iter]
+    x_flow = np.squeeze(x_flow_in[gt_iter, ...])
+    y_flow = np.squeeze(y_flow_in[gt_iter, ...])
+
+    dt = end_time - start_time
+    if gt_dt > dt:
+        return x_flow * dt / gt_dt, y_flow * dt / gt_dt
+
+    x_indices, y_indices = np.meshgrid(np.arange(x_flow.shape[1]),
+                                       np.arange(x_flow.shape[0]))
+    x_indices = x_indices.astype(np.float32)
+    y_indices = y_indices.astype(np.float32)
+
+    orig_x_indices = np.copy(x_indices)
+    orig_y_indices = np.copy(y_indices)
+
+    x_mask = np.ones(x_indices.shape, dtype=bool)
+    y_mask = np.ones(y_indices.shape, dtype=bool)
+
+    scale_factor = (gt_timestamps[gt_iter + 1] - start_time) / gt_dt
+    prop_flow(x_flow, y_flow, x_indices, y_indices, x_mask, y_mask,
+              scale_factor=scale_factor)
+    gt_iter += 1
+
+    while gt_timestamps[gt_iter + 1] < end_time:
+        x_flow = np.squeeze(x_flow_in[gt_iter, ...])
+        y_flow = np.squeeze(y_flow_in[gt_iter, ...])
+        prop_flow(x_flow, y_flow, x_indices, y_indices, x_mask, y_mask)
+        gt_iter += 1
+
+    final_dt = end_time - gt_timestamps[gt_iter]
+    final_gt_dt = gt_timestamps[gt_iter + 1] - gt_timestamps[gt_iter]
+    x_flow = np.squeeze(x_flow_in[gt_iter, ...])
+    y_flow = np.squeeze(y_flow_in[gt_iter, ...])
+    prop_flow(x_flow, y_flow, x_indices, y_indices, x_mask, y_mask,
+              final_dt / final_gt_dt)
+
+    x_shift = x_indices - orig_x_indices
+    y_shift = y_indices - orig_y_indices
+    x_shift[~x_mask] = 0
+    y_shift[~y_mask] = 0
+    return x_shift, y_shift
