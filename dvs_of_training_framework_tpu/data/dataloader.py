@@ -23,8 +23,16 @@ script_dir = Path(__file__).resolve().parent.parent.parent
 
 
 def choose_data_path(args):
-    """Set args.data_path to the MVSEC training-data root."""
-    if is_inside_docker():
+    """Set args.data_path to the MVSEC training-data root.
+
+    Resolution order: $DVS_DATA_PATH override, docker mount, sibling
+    ``data/training/mvsec`` directory.
+    """
+    import os
+    override = os.environ.get('DVS_DATA_PATH')
+    if override:
+        data_path = Path(override)
+    elif is_inside_docker():
         data_path = Path('/data/training/mvsec')
     else:
         base_dir = (script_dir / '..').resolve()

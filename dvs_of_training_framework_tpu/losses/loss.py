@@ -185,7 +185,9 @@ def init_losses(shape, batch_size, apply_fn, params, sequence_length=1):
     timestamps = jnp.array([0.04 * i for i in range(num_timestamps)],
                            jnp.float32)
     sample_idx = jnp.zeros((num_timestamps,), jnp.int32)
-    out = jax.eval_shape(apply_fn, params, events, timestamps, sample_idx,
-                         tuple(shape))
+    imsize = tuple(int(v) for v in shape)  # static under tracing
+    out = jax.eval_shape(
+        lambda p, e, t, s: apply_fn(p, e, t, s, imsize),
+        params, events, timestamps, sample_idx)
     out_shapes = tuple(tuple(flow.shape[2:]) for flow in out[0])
     return MultiScaleLoss(out_shapes)

@@ -1,0 +1,87 @@
+"""End-to-end CLI integration: train_flownet.py main() with resume.
+
+Exercises the full composition root — arg parsing, provenance write/check,
+model init, optimizer/schedule, loaders over the fixture data, hooks,
+checkpointing — and verifies that a second invocation resumes from the
+checkpoint (step, samples_passed) instead of restarting.
+"""
+import os
+from pathlib import Path
+
+import pytest
+
+from tests.helpers import data_path
+
+REPO = Path(__file__).resolve().parents[2]
+
+
+@pytest.fixture
+def mvsec_layout(tmp_path):
+    """Fixture data arranged as the expected MVSEC split directories."""
+    root = tmp_path / 'mvsec'
+    root.mkdir()
+    (root / 'outdoor_day2').symlink_to(data_path)
+    (root / 'outdoor_day1').symlink_to(data_path)
+    return root
+
+
+def run_cli(tmp_path, mvsec_layout, extra=()):
+    import train_flownet
+    model_dir = tmp_path / 'model'
+    argv = ['-m', str(model_dir),
+            '--flownet_path', str(REPO / 'DummyFlowNet'),
+            '-d', 'cpu',
+            '-bs', '2', '-mbs', '2',
+            '-ne', '2',
+            '--num_workers', '0',
+            '--height', '64', '--width', '64',
+            '-cl', '1',
+            '--optimizer', 'ADAM',
+            '--checkpointing_interval', '1',
+            '--permanent_interval', '1',
+            '-vp', '1',
+            '--event-capacity', '4096',
+            ] + list(extra)
+    os.environ['DVS_DATA_PATH'] = str(mvsec_layout)
+    try:
+        train_flownet.main(argv)
+    finally:
+        os.environ.pop('DVS_DATA_PATH', None)
+    return model_dir
+
+
+def test_train_cli_end_to_end(tmp_path, mvsec_layout):
+    model_dir = run_cli(tmp_path, mvsec_layout)
+    # provenance file written
+    assert (model_dir / 'parameters').is_file()
+    # checkpoints exist, including the final step
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    ser = Serializer(model_dir)
+    steps = ser.list_known_steps()
+    assert 2 in steps
+    # logs flushed
+    assert any((model_dir / 'log').glob('events.out.tfevents.*'))
+    # checkpoint carries samples_passed
+    state = ser.read_state_dict(2)
+    assert int(state['samples_passed']) == 4
+
+
+def test_train_cli_resumes(tmp_path, mvsec_layout):
+    run_cli(tmp_path, mvsec_layout)
+    # second run with a higher step budget resumes from step 2
+    model_dir = run_cli(tmp_path, mvsec_layout, extra=[])
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    ser = Serializer(model_dir)
+    state = ser.read_state_dict(max(ser.list_known_steps()))
+    # resumed run loaded step 2 and had nothing left to do:
+    # samples_passed unchanged
+    assert int(state['samples_passed']) == 4
+
+
+def test_train_cli_guards_argument_change(tmp_path, mvsec_layout):
+    run_cli(tmp_path, mvsec_layout)
+    with pytest.raises(AssertionError, match='argument'):
+        run_cli(tmp_path, mvsec_layout, extra=['-lr', '0.9'])
+    # explicit override allows it
+    run_cli(tmp_path, mvsec_layout,
+            extra=['-lr', '0.9', '--allow-arguments-change'])
