@@ -25,14 +25,17 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-BATCH_SIZE = 8
-N_EVENTS = 2 ** 17
-CAPACITY = 2 ** 17
-DEPTH = 9
-BASE = 64
+import os
+
+BATCH_SIZE = int(os.environ.get('BENCH_BATCH', 8))
+N_EVENTS = int(os.environ.get('BENCH_EVENTS', 2 ** 17))
+CAPACITY = N_EVENTS
+DEPTH = int(os.environ.get('BENCH_DEPTH', 9))
+BASE = int(os.environ.get('BENCH_BASE', 64))
 IMSIZE = (256, 256)
-WARMUP = 3
-ITERS = 20
+WARMUP = int(os.environ.get('BENCH_WARMUP', 3))
+ITERS = int(os.environ.get('BENCH_ITERS', 20))
+DTYPE = os.environ.get('BENCH_DTYPE', 'float32')
 
 
 def make_batch(rng):
@@ -68,7 +71,7 @@ def measure_tpu():
 
     module = load_model_class(REPO / 'EVFlowNet')
     model = module.Model(event_representation_depth=DEPTH,
-                         base_channels=BASE)
+                         base_channels=BASE, dtype=DTYPE)
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
     params = model.init(jax.random.PRNGKey(0), batch.events,

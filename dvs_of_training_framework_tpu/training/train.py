@@ -46,7 +46,8 @@ def train(train_step,
           init_step=0,
           init_samples_passed=0,
           max_events_per_batch: int = 350000,
-          on_state_update=None):
+          on_state_update=None,
+          prepare_batch=None):
     """Run the training loop.
 
     Args:
@@ -63,6 +64,8 @@ def train(train_step,
         hooks: dict of periodic hooks called with (step, samples_passed).
         on_state_update: optional callback receiving the latest state (used
             by hooks that need fresh params, e.g. serialization).
+        prepare_batch: optional ``(collated, capacity) -> device Batch``
+            override (the mesh path shards batches across devices here).
 
     Returns:
         (state, samples_passed)
@@ -95,8 +98,21 @@ def train(train_step,
         samples_passed += batch['size']
 
         timers('batch2device').start()
-        device_batch = pad_batch(batch, capacity=capacity if is_raw
-                                 else None)
+        try:
+            if prepare_batch is not None:
+                device_batch = prepare_batch(batch, capacity)
+            else:
+                device_batch = pad_batch(batch, capacity=capacity if is_raw
+                                         else None)
+        except OverflowError as exc:
+            # per-shard imbalance can overflow even when the total fits
+            timers('batch2device').stop()
+            num_skipped += 1
+            global_step -= 1
+            samples_passed -= batch['size']
+            print(f'Skipping batch: {exc}')
+            timers('batch_construction').start()
+            continue
         timers('batch2device').stop()
         timers('train_step').start()
         state, (loss, terms) = train_step(state, device_batch)

@@ -78,6 +78,15 @@ def test_train_cli_resumes(tmp_path, mvsec_layout):
     assert int(state['samples_passed']) == 4
 
 
+def test_train_cli_mesh(tmp_path, mvsec_layout):
+    """Data-parallel CLI training over a 2-device mesh."""
+    model_dir = run_cli(tmp_path, mvsec_layout,
+                        extra=['--mesh', 'data:2'])
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    ser = Serializer(model_dir)
+    assert 2 in ser.list_known_steps()
+
+
 def test_train_cli_guards_argument_change(tmp_path, mvsec_layout):
     run_cli(tmp_path, mvsec_layout)
     with pytest.raises(AssertionError, match='argument'):

@@ -116,8 +116,28 @@ def main(argv=None):
 
     logger = SummaryWriter(str(args.log_path))
 
-    train_step = make_train_step(model, evaluator, tx, args.loss_weights,
-                                 args.accum_step, is_raw=args.is_raw)
+    prepare_batch = None
+    if args.mesh is not None:
+        from dvs_of_training_framework_tpu.parallel import (
+            make_mesh, make_sharded_train_step, shard_host_batch,
+            split_batch_for_mesh)
+        assert args.is_raw, 'mesh training currently expects raw events'
+        mesh = make_mesh(args.mesh)
+        train_step, n_shards = make_sharded_train_step(
+            model, evaluator, tx, args.loss_weights, args.accum_step,
+            mesh, is_raw=True)
+        assert args.mbs % n_shards == 0, \
+            f'micro batch {args.mbs} not divisible by {n_shards} devices'
+
+        def prepare_batch(collated, capacity):
+            sharded = split_batch_for_mesh(
+                collated, n_shards,
+                capacity_per_shard=max(capacity // n_shards, 4096))
+            return shard_host_batch(sharded, mesh)
+    else:
+        train_step = make_train_step(model, evaluator, tx,
+                                     args.loss_weights,
+                                     args.accum_step, is_raw=args.is_raw)
     eval_step = make_eval_step(model, evaluator, args.loss_weights,
                                is_raw=True)
 
@@ -188,7 +208,8 @@ def main(argv=None):
             init_step=global_step,
             init_samples_passed=samples_passed,
             max_events_per_batch=args.max_events_per_batch,
-            on_state_update=on_state_update)
+            on_state_update=on_state_update,
+            prepare_batch=prepare_batch)
 
     state_holder['state'] = state
     samples = samples_passed
