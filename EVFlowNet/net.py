@@ -53,6 +53,7 @@ class QuantizationLayer(nn.Module):
     depth: int = 9
     hidden: int = 30
     dtype: jnp.dtype = jnp.float32
+    scatter_method: str = 'scatter'  # 'scatter' (exact) | 'matmul' (MXU)
 
     @nn.compact
     def __call__(self, events, timestamps, sample_idx, imsize,
@@ -92,18 +93,15 @@ class QuantizationLayer(nn.Module):
         value = weight * events.polarity[:, None].astype(self.dtype)
         value = jnp.where(valid[:, None], value, 0.0)
 
-        # --- fused scatter-add into the voxel grid --------------------
-        # flat bin: (((b * L + e) * H + y) * W + x) * C + c  — channel-minor
-        # so the result reshapes directly to NHWC [B*L, H, W, C].
-        n_bins = batch_size * L * H * W * C
-        pix = (safe_sample * L + safe_elem) * (H * W) \
-            + events.y * W + events.x                         # [E]
-        flat = pix[:, None] * C + jnp.arange(C, dtype=jnp.int32)[None, :]
-        flat = jnp.where(valid[:, None], flat, n_bins)  # padding -> dropped
-        grid = jnp.zeros((n_bins,), self.dtype)
-        grid = grid.at[flat.reshape(-1)].add(value.reshape(-1),
-                                             mode='drop')
-        grid = grid.reshape(batch_size, L, H, W, C)
+        # --- voxel binning (ops/voxel.py: scatter or MXU matmul) -------
+        from dvs_of_training_framework_tpu.ops.voxel import (
+            voxelize_matmul, voxelize_scatter)
+        plane = safe_sample * L + safe_elem
+        voxelize = (voxelize_matmul if self.scatter_method == 'matmul'
+                    else voxelize_scatter)
+        grid = voxelize(events.x, events.y, plane, value, valid,
+                        num_planes=batch_size * L, height=H, width=W)
+        grid = grid.reshape(batch_size, L, H, W, C).astype(self.dtype)
         # [B, H, W, L*C]
         grid = grid.transpose(0, 2, 3, 1, 4).reshape(batch_size, H, W, L * C)
         return grid
@@ -180,11 +178,13 @@ class Model(nn.Module):
     activation: str = 'relu'
     base_channels: int = 64
     dtype: str = 'float32'
+    scatter_method: str = 'scatter'
 
     def setup(self):
         dtype = jnp.dtype(self.dtype)
         self.quantization_layer = QuantizationLayer(
-            depth=self.event_representation_depth, dtype=dtype)
+            depth=self.event_representation_depth, dtype=dtype,
+            scatter_method=self.scatter_method)
         self.predictor = Predictor(base_channels=self.base_channels,
                                    activation=self.activation,
                                    dtype=dtype)
