@@ -1,0 +1,45 @@
+"""Device prefetch iterator: ordering, overflow pass-through."""
+import numpy as np
+
+from dvs_of_training_framework_tpu.data.prefetch import prefetch_to_device
+from dvs_of_training_framework_tpu.data.schema import pad_batch
+
+
+def make_host_batch(n_events, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        'events': {
+            'x': rng.integers(0, 32, n_events),
+            'y': rng.integers(0, 32, n_events),
+            'timestamp': rng.uniform(0, 0.04, n_events)
+            .astype(np.float32),
+            'polarity': rng.choice([-1.0, 1.0], n_events),
+            'element_index': np.zeros(n_events, np.int64),
+            'sample_index': np.zeros(n_events, np.int64),
+        },
+        'timestamps': np.array([0, 0.04], np.float32),
+        'sample_idx': np.array([0, 0], np.int64),
+        'images': np.zeros((2, 1, 32, 32), np.float32),
+        'augmentation_params': None,
+        'size': 1,
+    }
+
+
+def test_prefetch_preserves_order_and_flags_overflow():
+    batches = [make_host_batch(10, 0), make_host_batch(999, 1),
+               make_host_batch(20, 2)]
+
+    def prepare(b):
+        return pad_batch(b, capacity=64)
+
+    out = list(prefetch_to_device(iter(batches), prepare, depth=2))
+    assert len(out) == 3
+    host0, dev0 = out[0]
+    assert dev0 is not None
+    assert int(dev0.events.num_events) == 10
+    # the oversized batch comes through with device_batch=None
+    host1, dev1 = out[1]
+    assert dev1 is None
+    assert host1['events']['x'].size == 999
+    _, dev2 = out[2]
+    assert int(dev2.events.num_events) == 20
