@@ -87,6 +87,10 @@ def measure_tpu():
                                  accumulation_steps=1, is_raw=True)
     state = create_train_state(params, tx)
 
+    # pre-stage the batch on device: in real training the prefetcher
+    # (data/prefetch.py) overlaps H2D transfers with compute
+    batch = jax.device_put(batch)
+
     for _ in range(WARMUP):
         state, (loss, _) = train_step(state, batch)
     jax.block_until_ready(state.params)
