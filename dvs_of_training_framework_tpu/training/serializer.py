@@ -15,6 +15,7 @@ import logging
 import math
 import os
 from pathlib import Path
+import threading
 import typing
 
 import numpy as np
@@ -74,13 +75,23 @@ class Serializer:
                  path: Path,
                  keep_checkpoints_max=math.inf,
                  permanent_checkpoint_interval=1,
-                 name_template='step_{}.ckpt'):
+                 name_template='step_{}.ckpt',
+                 async_write=False):
+        """
+        Args:
+            async_write: serialise to host memory synchronously but write
+                the file in a background thread (the device-side state is
+                already copied, so training can proceed immediately —
+                the TPU analogue of Orbax's async checkpointing).
+        """
         self._path = Path(path)
         self._path.mkdir(parents=True, exist_ok=True)
         self._history_size = keep_checkpoints_max
         self._permanent_interval = permanent_checkpoint_interval
         self._permanent_checkpoints = dict()
         self._temporal_checkpoints = dict()
+        self._async_write = async_write
+        self._pending = None
         assert parse_template(name_template,
                               name_template.format(0)) is not None, \
             'checkpoint name template must use exactly one argument'
@@ -128,8 +139,30 @@ class Serializer:
                                  'optimizer': opt_state,
                                  'global_step': global_step}
         checkpoint_state_dict.update(kwargs)
-        save_state_file(path, checkpoint_state_dict)
-        self._remove_old()
+        if self._async_write:
+            self.wait()
+            # device->host copy happens here (synchronously, so the live
+            # state can keep training); file IO moves off-thread
+            data = serialization.msgpack_serialize(
+                _to_pure(checkpoint_state_dict))
+
+            def write():
+                tmp = Path(str(path) + '.tmp')
+                tmp.write_bytes(data)
+                os.replace(tmp, path)
+                self._remove_old()
+
+            self._pending = threading.Thread(target=write, daemon=True)
+            self._pending.start()
+        else:
+            save_state_file(path, checkpoint_state_dict)
+            self._remove_old()
+
+    def wait(self):
+        """Block until a pending async checkpoint write completes."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
 
     def has_checkpoints(self):
         return (len(self._temporal_checkpoints)

@@ -107,3 +107,18 @@ def test_resume_restores_optimizer_state(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(u1),
                     jax.tree_util.tree_leaves(u2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_async_write(tmp_path):
+    ser = Serializer(tmp_path, keep_checkpoints_max=2,
+                     permanent_checkpoint_interval=10, async_write=True)
+    params = params_tree()
+    for step in range(1, 5):
+        ser.checkpoint_model(params, {}, global_step=step,
+                             samples_passed=step * 8)
+    ser.wait()
+    assert ser.list_known_steps() == [3, 4]
+    step, p, _, extra = ser.load_checkpoint(4)
+    assert step == 4 and int(extra['samples_passed']) == 32
+    np.testing.assert_array_equal(p['dense']['kernel'],
+                                  params['dense']['kernel'])
