@@ -72,6 +72,10 @@ def train(train_step,
     """
     if timers is None:
         timers = FakeTimer()
+    throughput = None
+    if not isinstance(timers, FakeTimer):
+        from ..utils.timer import ThroughputTimer
+        throughput = ThroughputTimer(batch_size=None)
     samples_passed = init_samples_passed
     loss_sum = 0.0
     smooth_sum, photo_sum, out_reg_sum = [], [], []
@@ -114,9 +118,14 @@ def train(train_step,
             timers('batch_construction').start()
             continue
         timers('batch2device').stop()
+        if throughput is not None:
+            throughput.batch_size = batch['size']
+            throughput.start()
         timers('train_step').start()
         state, (loss, terms) = train_step(state, device_batch)
         timers('train_step').stop()
+        if throughput is not None:
+            throughput.stop()
 
         is_step_boundary = global_step % accumulation_steps == 0
 
