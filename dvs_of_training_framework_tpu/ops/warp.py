@@ -2,16 +2,22 @@
 
 The photometric loss warps grayscale frames with the predicted flow; the
 reference uses ``torch.nn.functional.grid_sample(align_corners=True)``
-(reference utils/loss.py:8-12, 58-70).  This implementation reproduces those
-semantics exactly (bilinear, zero padding for out-of-border corners) as a
-gather-based JAX op that XLA fuses into the surrounding loss computation.
-Parity is pinned by tests/ops/test_warp_parity.py against torch on CPU.
+(reference utils/loss.py:8-12, 58-70).  Both implementations here reproduce
+those semantics exactly (bilinear, zero padding for out-of-border corners);
+parity is pinned by tests/ops/test_warp_parity.py against torch on CPU.
+
+``grid_sample`` (default) fetches one 2x2 patch per output pixel with a
+single ``lax.gather`` and blends it with tent weights — on TPU this runs
+~4x fewer gather descriptors than the naive 4-corner formulation
+(``grid_sample_corners``), which profiling showed dominating the loss cost.
 """
+import jax.lax as lax
 import jax.numpy as jnp
 
 
-def grid_sample(images: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
-    """Sample ``images`` at normalized ``grid`` locations.
+def grid_sample_corners(images: jnp.ndarray, grid: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """4-corner gather formulation (reference semantics, simplest form).
 
     Args:
         images: ``[N, C, H, W]`` input images.
@@ -57,3 +63,55 @@ def grid_sample(images: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
            + corner(ix0, iy1, wx0 * wy1)
            + corner(ix1, iy1, wx1 * wy1))
     return out
+
+
+def grid_sample(images: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Patch-gather bilinear sampling (same semantics, TPU-fast form).
+
+    One ``lax.gather`` fetches the 2x2 neighbourhood of every sampling
+    point (base clamped so the patch stays in bounds); the bilinear blend
+    uses tent weights of each patch cell's *absolute* coordinate with an
+    in-bounds mask, which reproduces zeros-padding exactly even when the
+    base was clamped at the border.
+
+    Args / returns: see ``grid_sample_corners``.
+    """
+    N, C, H, W = images.shape
+    Ho, Wo = grid.shape[1:3]
+    P = Ho * Wo
+    gx = grid[..., 0].reshape(N, P)
+    gy = grid[..., 1].reshape(N, P)
+    # align_corners=True: -1 -> 0, +1 -> size-1
+    ix = (gx + 1.0) * 0.5 * (W - 1)
+    iy = (gy + 1.0) * 0.5 * (H - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    xb = jnp.clip(x0, 0, W - 2).astype(jnp.int32)
+    yb = jnp.clip(y0, 0, H - 2).astype(jnp.int32)
+
+    starts = jnp.stack([yb, xb], axis=-1)            # [N, P, 2]
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(2, 3),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,))
+    patches = lax.gather(images, starts, dnums,
+                         slice_sizes=(1, C, 2, 2),
+                         mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    # [N, P, C, 2, 2]
+
+    def tent(coord, target):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(coord - target))
+
+    out = jnp.zeros((N, P, C), images.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            ya = (yb + a).astype(images.dtype)
+            xa = (xb + b).astype(images.dtype)
+            inb = ((ya >= 0) & (ya <= H - 1)
+                   & (xa >= 0) & (xa <= W - 1))
+            w = tent(iy, ya) * tent(ix, xa) * inb.astype(images.dtype)
+            out = out + patches[:, :, :, a, b] * w[:, :, None]
+    return out.transpose(0, 2, 1).reshape(N, C, Ho, Wo)
