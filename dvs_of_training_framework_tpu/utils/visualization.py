@@ -35,9 +35,10 @@ def flow2img(flow_x, flow_y):
     ang += np.pi
     ang *= 180. / np.pi / 2.
     ang = ang.astype(np.uint8)
-    mag_max = mag.max()
-    if mag_max > 0:
-        val = (mag / mag_max * 255.0)
+    # min-max normalisation of the magnitude (cv2.NORM_MINMAX semantics)
+    mag_min, mag_max = mag.min(), mag.max()
+    if mag_max > mag_min:
+        val = (mag - mag_min) / (mag_max - mag_min) * 255.0
     else:
         val = np.zeros_like(mag)
     sat = np.full_like(ang, 255, dtype=np.uint8)
