@@ -52,8 +52,15 @@ def voxelize_scatter(x, y, sample_elem, weights, valid,
 
 def voxelize_matmul(x, y, sample_elem, weights, valid,
                     num_planes: int, height: int, width: int,
-                    chunk: int = 8192):
-    """MXU voxelization via chunked one-hot contractions (see module doc)."""
+                    chunk: int = 8192, precise: bool = True):
+    """MXU voxelization via chunked one-hot contractions (see module doc).
+
+    Args:
+        precise: split the weights into two bfloat16 components
+            (``w = hi + lo``, the classic bf16x2 trick) so the MXU result
+            matches fp32 scatter to ~1e-6 relative; ``False`` uses a single
+            bf16 pass (~0.4% relative error, 2x cheaper).
+    """
     E, C = weights.shape
     pad = (-E) % chunk
     if pad:
@@ -75,13 +82,21 @@ def voxelize_matmul(x, y, sample_elem, weights, valid,
         # weighted column matrix: w[e, c] placed at column x_e * C + c
         col_onehot = jax.nn.one_hot(cx, width,
                                     dtype=jnp.bfloat16)       # [chunk, W]
-        wcols = (col_onehot[:, :, None]
-                 * w.astype(jnp.bfloat16)[:, None, :])        # [chunk, W, C]
-        wcols = wcols.reshape(chunk, width * C)
-        contrib = jax.lax.dot_general(
-            onehot_rows, wcols,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)               # [P*H, W*C]
+        w32 = w.astype(jnp.float32)
+        hi = w32.astype(jnp.bfloat16)
+        parts = [hi]
+        if precise:
+            lo = (w32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            parts.append(lo)
+        contrib = 0.0
+        for part in parts:
+            wcols = (col_onehot[:, :, None]
+                     * part[:, None, :])                  # [chunk, W, C]
+            wcols = wcols.reshape(chunk, width * C)
+            contrib = contrib + jax.lax.dot_general(
+                onehot_rows, wcols,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [P*H, W*C]
         return acc + contrib, None
 
     init = jnp.zeros((num_planes * height, width * C), jnp.float32)
