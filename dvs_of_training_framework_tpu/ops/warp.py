@@ -6,18 +6,18 @@ reference uses ``torch.nn.functional.grid_sample(align_corners=True)``
 those semantics exactly (bilinear, zero padding for out-of-border corners);
 parity is pinned by tests/ops/test_warp_parity.py against torch on CPU.
 
-``grid_sample`` (default) fetches one 2x2 patch per output pixel with a
-single ``lax.gather`` and blends it with tent weights — on TPU this runs
-~4x fewer gather descriptors than the naive 4-corner formulation
-(``grid_sample_corners``), which profiling showed dominating the loss cost.
+``grid_sample`` (default) is the 4-corner gather form.  The patch-gather
+variant (``grid_sample_patch``: one 2x2-slice ``lax.gather`` + tent-weight
+blend) is numerically identical and fast in isolation, but measured ~10x
+slower inside the full jitted training program on TPU v5e (XLA's
+multi-element-slice gather takes a slow path there), so it stays opt-in.
 """
 import jax.lax as lax
 import jax.numpy as jnp
 
 
-def grid_sample_corners(images: jnp.ndarray, grid: jnp.ndarray
-                        ) -> jnp.ndarray:
-    """4-corner gather formulation (reference semantics, simplest form).
+def grid_sample(images: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """4-corner gather bilinear sampling (default).
 
     Args:
         images: ``[N, C, H, W]`` input images.
@@ -65,16 +65,15 @@ def grid_sample_corners(images: jnp.ndarray, grid: jnp.ndarray
     return out
 
 
-def grid_sample(images: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
-    """Patch-gather bilinear sampling (same semantics, TPU-fast form).
+def grid_sample_patch(images: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Patch-gather bilinear sampling (same semantics; opt-in, see module
+    docstring for the TPU performance caveat).
 
     One ``lax.gather`` fetches the 2x2 neighbourhood of every sampling
     point (base clamped so the patch stays in bounds); the bilinear blend
     uses tent weights of each patch cell's *absolute* coordinate with an
     in-bounds mask, which reproduces zeros-padding exactly even when the
     base was clamped at the border.
-
-    Args / returns: see ``grid_sample_corners``.
     """
     N, C, H, W = images.shape
     Ho, Wo = grid.shape[1:3]

@@ -92,3 +92,16 @@ def test_get_local_idx():
     ids_p = jnp.array([0, 0, 1, 2, 2, 2], dtype=jnp.int32)
     local, sizes = get_local_idx(ids_p, 2)
     assert list(np.asarray(sizes)) == [2, 1]
+
+
+@pytest.mark.parametrize('seed', [0, 3])
+def test_patch_gather_variant_matches(seed):
+    """The opt-in patch-gather form agrees with the default exactly."""
+    from dvs_of_training_framework_tpu.ops.warp import grid_sample_patch
+    rng = np.random.default_rng(seed)
+    images = rng.normal(size=(2, 3, 15, 21)).astype(np.float32)
+    grid = rng.uniform(-1.4, 1.4, size=(2, 10, 12, 2)).astype(np.float32)
+    a = np.asarray(grid_sample(jnp.asarray(images), jnp.asarray(grid)))
+    b = np.asarray(grid_sample_patch(jnp.asarray(images),
+                                     jnp.asarray(grid)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
