@@ -36,6 +36,7 @@ IMSIZE = (256, 256)
 WARMUP = int(os.environ.get('BENCH_WARMUP', 3))
 ITERS = int(os.environ.get('BENCH_ITERS', 20))
 DTYPE = os.environ.get('BENCH_DTYPE', 'float32')
+SCATTER = os.environ.get('BENCH_SCATTER', 'scatter')
 
 
 def make_batch(rng):
@@ -71,7 +72,8 @@ def measure_tpu():
 
     module = load_model_class(REPO / 'EVFlowNet')
     model = module.Model(event_representation_depth=DEPTH,
-                         base_channels=BASE, dtype=DTYPE)
+                         base_channels=BASE, dtype=DTYPE,
+                         scatter_method=SCATTER)
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
     params = model.init(jax.random.PRNGKey(0), batch.events,
