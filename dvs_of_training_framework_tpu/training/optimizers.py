@@ -119,26 +119,34 @@ def gradient_centralization() -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
-def _base_transform(name: str, weight_decay: float,
-                    schedule) -> optax.GradientTransformation:
-    """Scale-by chain for one optimizer family + decoupled wd + lr."""
+def _base_transform(name: str, weight_decay: float, schedule,
+                    flatten: bool = True) -> optax.GradientTransformation:
+    """Scale-by chain for one optimizer family + decoupled wd + lr.
+
+    ``flatten`` wraps the chain in ``optax.flatten`` so the elementwise
+    optimizer math runs over one contiguous buffer instead of ~200 small
+    per-leaf kernels (an XLA kernel-count / dispatch-tail optimization;
+    gradient centralization stays outside since it needs leaf shapes).
+    """
     name = name.upper()
     if name == 'ADAM':
-        chain = [optax.scale_by_amsgrad(),
-                 optax.add_decayed_weights(weight_decay),
-                 optax.scale_by_schedule(lambda s: -schedule(s))]
-        return optax.chain(*chain)
+        core = optax.chain(optax.scale_by_amsgrad(),
+                           optax.add_decayed_weights(weight_decay),
+                           optax.scale_by_schedule(lambda s: -schedule(s)))
+        return optax.flatten(core) if flatten else core
     if name == 'RADAM':
-        chain = [optax.scale_by_radam(),
-                 optax.add_decayed_weights(weight_decay),
-                 optax.scale_by_schedule(lambda s: -schedule(s))]
-        return optax.chain(*chain)
+        core = optax.chain(optax.scale_by_radam(),
+                           optax.add_decayed_weights(weight_decay),
+                           optax.scale_by_schedule(lambda s: -schedule(s)))
+        return optax.flatten(core) if flatten else core
     if name == 'RANGER':
-        inner = optax.chain(
-            gradient_centralization(),
+        core = optax.chain(
             optax.scale_by_radam(),
             optax.add_decayed_weights(weight_decay),
             optax.scale_by_schedule(lambda s: -schedule(s)))
+        if flatten:
+            core = optax.flatten(core)
+        inner = optax.chain(gradient_centralization(), core)
         return lookahead(inner)
     raise ValueError(f'Unknown optimizer type {name}')
 
