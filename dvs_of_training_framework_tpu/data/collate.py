@@ -59,3 +59,41 @@ def collate_wrapper(batch):
             'images': images.astype(np.float32),
             'augmentation_params': add_info[0] if add_info else None,
             'size': len(batch)}
+
+
+def collate_dense_wrapper(batch):
+    """Collate samples whose elements are dense event images (--ev_images).
+
+    Each sample's ``elements`` is a ``[L, C, H, W]`` array (produced by the
+    plugin's ``compute_event_image``); the batch stacks them to ``data``
+    ``[B, L*C, H, W]``.  Everything else matches ``collate_wrapper``.
+    """
+    data = np.stack([np.asarray(sample[0]) for sample in batch]) \
+        .astype(np.float32)
+    B, L, C, H, W = data.shape
+    data = data.reshape(B, L * C, H, W)
+
+    sample_idx = np.hstack([np.full_like(sample[1], i, dtype=np.int_)
+                            for i, sample in enumerate(batch)])
+    timestamps = np.hstack([sample[1] for sample in batch])
+    images = np.vstack([x[2] for x in batch])
+    images = np.expand_dims(images, axis=1)
+    add_info = None
+    if len(batch) > 0 and len(batch[0]) > 3:
+        augmentation_params = [x[3] for x in batch]
+        add_info = to_array({
+            'idx': np.array([x[0] for x in augmentation_params]),
+            'sequence_length': np.array([x[1]
+                                         for x in augmentation_params]),
+            'collapse_length': np.array([x[2] for x in augmentation_params]),
+            'box': np.vstack([x[3].reshape(1, -1)
+                              for x in augmentation_params]),
+            'angle': np.array([x[4] for x in augmentation_params]),
+            'is_flip': np.array([x[5] for x in augmentation_params]),
+        })
+    return {'data': data,
+            'timestamps': timestamps.astype(np.float32),
+            'sample_idx': sample_idx.astype(np.int64),
+            'images': images.astype(np.float32),
+            'augmentation_params': add_info,
+            'size': len(batch)}

@@ -15,7 +15,7 @@ from concurrent.futures import ThreadPoolExecutor
 from types import SimpleNamespace
 
 from ..utils.common import is_inside_docker
-from .collate import collate_wrapper
+from .collate import collate_dense_wrapper, collate_wrapper
 from .dataset import Dataset, IterableDataset
 from .preprocessed import PreprocessedDataloader
 
@@ -203,6 +203,8 @@ def get_dataloader(params, sample_idx=0, process_only_once=True,
             process_only_once=process_only_once)
         loader.set_index(sample_idx)
         return loader
+    collate_fn = collate_wrapper if params.is_raw else collate_dense_wrapper
     return HostDataLoader(get_dataset(params, event_image_fn),
                           batch_size=params.batch_size,
+                          collate_fn=collate_fn,
                           num_workers=params.num_workers)
