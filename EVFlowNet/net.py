@@ -93,14 +93,20 @@ class QuantizationLayer(nn.Module):
         value = weight * events.polarity[:, None].astype(self.dtype)
         value = jnp.where(valid[:, None], value, 0.0)
 
-        # --- voxel binning (ops/voxel.py: scatter or MXU matmul) -------
+        # --- voxel binning (scatter | MXU matmul | pallas kernel) ------
         from dvs_of_training_framework_tpu.ops.voxel import (
             voxelize_matmul, voxelize_scatter)
         plane = safe_sample * L + safe_elem
-        voxelize = (voxelize_matmul if self.scatter_method == 'matmul'
-                    else voxelize_scatter)
-        grid = voxelize(events.x, events.y, plane, value, valid,
-                        num_planes=batch_size * L, height=H, width=W)
+        if self.scatter_method == 'pallas':
+            from dvs_of_training_framework_tpu.ops.voxel_pallas import \
+                voxelize_pallas
+            grid = voxelize_pallas(events.x, events.y, plane, value, valid,
+                                   batch_size * L, H, W)
+        else:
+            voxelize = (voxelize_matmul if self.scatter_method == 'matmul'
+                        else voxelize_scatter)
+            grid = voxelize(events.x, events.y, plane, value, valid,
+                            num_planes=batch_size * L, height=H, width=W)
         grid = grid.reshape(batch_size, L, H, W, C).astype(self.dtype)
         # [B, H, W, L*C]
         grid = grid.transpose(0, 2, 3, 1, 4).reshape(batch_size, H, W, L * C)

@@ -126,3 +126,34 @@ def test_optical_flow_wrapper():
     assert flow.shape == (1, 32, 48, 2)
     all_scales = of([window], [5.0], [5.1], return_all=True)
     assert len(all_scales) == 4
+
+
+def test_pallas_scatter_method_matches_default():
+    """Model(scatter_method='pallas') produces the same voxel grid (the
+    pallas kernel runs in interpret mode off-TPU via the JAX fallback)."""
+    import jax.numpy as jnp
+    from unittest import mock
+    from dvs_of_training_framework_tpu.ops import voxel_pallas
+
+    module = load_model_class(REPO / 'EVFlowNet')
+    events, timestamps, sample_idx, imsize = make_inputs(
+        batch_size=2, n_events=64, capacity=64)
+    ref_model = module.Model(event_representation_depth=4, base_channels=8)
+    params = ref_model.init(jax.random.PRNGKey(0), events, timestamps,
+                            sample_idx, imsize)['params']
+    ref = ref_model.apply({'params': params}, events, timestamps,
+                          sample_idx, imsize, method=ref_model.quantize)
+
+    orig = voxel_pallas.voxelize_pallas
+
+    def interp(x, y, plane, w, valid, P, H, W, chunk=256, interpret=False):
+        return orig(x, y, plane, w, valid, P, H, W, 32, True)
+
+    with mock.patch.object(voxel_pallas, 'voxelize_pallas', interp):
+        pal_model = module.Model(event_representation_depth=4,
+                                 base_channels=8, scatter_method='pallas')
+        got = pal_model.apply({'params': params}, events, timestamps,
+                              sample_idx, imsize,
+                              method=pal_model.quantize)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
