@@ -11,19 +11,20 @@ one-hot row matrix and a weighted column matrix multiplied on the MXU::
     accum[H, C*W] += onehot_y[chunk, H]^T @ wcols[chunk, C*W]
     wcols[:, c*W:(c+1)*W] = w[:, c:c+1] * onehot_x[chunk, W]
 
-Columns are channel-major (``c*W + x``) so every in-kernel tensor stays
-2-D with a 128-aligned minor dimension (Mosaic cannot shape-cast
-misaligned 3-D vectors); the host wrapper transposes the result back to
-``[P, H, W, C]``.
+TPU-shape discipline (Mosaic constraints discovered the hard way):
+- all in-kernel vectors are 2-D with 128-aligned minor dims,
+- event records are packed host-side into one ``[Ep, 128]`` float32 array
+  (columns: x, y, w_0..w_{C-1}, zeros) so each chunk is ONE aligned DMA,
+- columns are channel-major (``c*W + x``) to avoid 3-D shape casts; the
+  host wrapper transposes the result back to ``[P, H, W, C]``.
 
 The backward pass mirrors the structure: per plane, the incoming gradient
 block ``[H, C*W]`` sits in VMEM and each event chunk computes
 ``dW[e, c] = g[y_e, c*W + x_e]`` as one MXU contraction plus per-channel
-masked reductions — no HBM gather.
-
-``voxelize_pallas`` wires both into a ``jax.custom_vjp`` drop-in for
-``ops.voxel.voxelize_scatter`` (float32-exact: contractions run at
-``Precision.HIGHEST``).  Interpret mode keeps the kernels testable on CPU.
+masked reductions — no HBM gather.  ``voxelize_pallas`` wires both into a
+``jax.custom_vjp`` drop-in for ``ops.voxel.voxelize_scatter``
+(float32-exact: contractions run at ``Precision.HIGHEST``).  Interpret
+mode keeps the kernels testable on CPU.
 """
 import functools
 
@@ -32,17 +33,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LANE = 128
+
 
 def _round_up(v, m):
     return (v + m - 1) // m * m
 
 
-def _onehot_rows(y_v, idx_end, base, chunk, height):
-    """[chunk, H] one-hot of y with rows beyond the range zeroed."""
+def _onehot_rows(y_col, end, base, chunk, height):
+    """[chunk, H] one-hot of y with rows beyond the event range zeroed."""
     idx = base + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-    evalid = (idx < idx_end).astype(jnp.float32)          # [chunk, 1]
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, height), 1)
-    rows = (y_v[:] == row_iota).astype(jnp.float32)
+    evalid = (idx < end).astype(jnp.float32)              # [chunk, 1]
+    row_iota = jax.lax.broadcasted_iota(jnp.float32, (chunk, height), 1)
+    rows = (y_col == row_iota).astype(jnp.float32)
     return rows * evalid
 
 
@@ -51,37 +54,30 @@ def _onehot_rows(y_v, idx_end, base, chunk, height):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
-                x_hbm, y_hbm, w_hbm,       # HBM: i32[Ep,1] x2, f32[Ep,C]
+                ev_hbm,                    # HBM: f32[Ep, 128] packed events
                 out_ref,                   # VMEM block: f32[1, H, C*W]
-                x_v, y_v, w_v, sem,        # scratch
+                ev_v, sem,                 # scratch
                 *, chunk, height, width, channels):
     p = pl.program_id(0)
     start = offsets_ref[p]
     end = offsets_ref[p + 1]
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, width), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.float32, (chunk, width), 1)
 
     def body(k, _):
         base = start + k * chunk
-        copies = [
-            pltpu.make_async_copy(x_hbm.at[pl.ds(base, chunk), :], x_v,
-                                  sem.at[0]),
-            pltpu.make_async_copy(y_hbm.at[pl.ds(base, chunk), :], y_v,
-                                  sem.at[1]),
-            pltpu.make_async_copy(w_hbm.at[pl.ds(base, chunk), :], w_v,
-                                  sem.at[2]),
-        ]
-        for cp in copies:
-            cp.start()
-        for cp in copies:
-            cp.wait()
+        cp = pltpu.make_async_copy(ev_hbm.at[pl.ds(base, chunk), :], ev_v,
+                                   sem)
+        cp.start()
+        cp.wait()
 
-        rows = _onehot_rows(y_v, end, base, chunk, height)    # [chunk, H]
-        xmask = (x_v[:] == col_iota).astype(jnp.float32)      # [chunk, W]
+        rows = _onehot_rows(ev_v[:, 1:2], end, base, chunk, height)
+        xmask = (ev_v[:, 0:1] == col_iota).astype(jnp.float32)
         # channel-major weighted columns [chunk, C*W]
         wcols = jnp.concatenate(
-            [w_v[:, c:c + 1] * xmask for c in range(channels)], axis=1)
+            [ev_v[:, 2 + c:3 + c] * xmask for c in range(channels)],
+            axis=1)
         contrib = jax.lax.dot_general(
             rows, wcols, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -98,36 +94,31 @@ def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(offsets_ref,               # i32[P+1]
-                x_hbm, y_hbm, g_ref,       # i32[Ep,1] x2, VMEM f32[1,H,C*W]
-                dw_ref,                    # HBM out: f32[Ep, C]
-                x_v, y_v, dw_v, sem,       # scratch
+                ev_hbm, g_ref,             # f32[Ep,128], VMEM f32[1,H,C*W]
+                dw_ref,                    # HBM out: f32[Ep, 128]
+                ev_v, dw_v, sem,           # scratch
                 *, chunk, height, width, channels):
     p = pl.program_id(0)
     start = offsets_ref[p]
     end = offsets_ref[p + 1]
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, width), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.float32, (chunk, width), 1)
 
     def body(k, _):
         base = start + k * chunk
-        copies = [
-            pltpu.make_async_copy(x_hbm.at[pl.ds(base, chunk), :], x_v,
-                                  sem.at[0]),
-            pltpu.make_async_copy(y_hbm.at[pl.ds(base, chunk), :], y_v,
-                                  sem.at[1]),
-        ]
-        for cp in copies:
-            cp.start()
-        for cp in copies:
-            cp.wait()
+        cp = pltpu.make_async_copy(ev_hbm.at[pl.ds(base, chunk), :], ev_v,
+                                   sem.at[0])
+        cp.start()
+        cp.wait()
 
-        rows = _onehot_rows(y_v, end, base, chunk, height)    # [chunk, H]
+        rows = _onehot_rows(ev_v[:, 1:2], end, base, chunk, height)
         tmp = jax.lax.dot_general(
             rows, g_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)              # [chunk, C*W]
-        xmask = (x_v[:] == col_iota).astype(jnp.float32)      # [chunk, W]
+        xmask = (ev_v[:, 0:1] == col_iota).astype(jnp.float32)
+        dw_v[...] = jnp.zeros(dw_v.shape, dw_v.dtype)
         for c in range(channels):
             dw_v[:, c:c + 1] = jnp.sum(
                 tmp[:, c * width:(c + 1) * width] * xmask,
@@ -135,7 +126,7 @@ def _bwd_kernel(offsets_ref,               # i32[P+1]
 
         cp_o = pltpu.make_async_copy(dw_v,
                                      dw_ref.at[pl.ds(base, chunk), :],
-                                     sem.at[2])
+                                     sem.at[1])
         cp_o.start()
         cp_o.wait()
         return 0
@@ -149,11 +140,8 @@ def _bwd_kernel(offsets_ref,               # i32[P+1]
 # ---------------------------------------------------------------------------
 
 def _plane_offsets(plane, valid, num_planes, total):
-    """Contiguous [start, end) event range per plane.
-
-    Events are sample-major sorted (collation invariant); padding events sit
-    at the tail.
-    """
+    """Contiguous [start, end) event range per plane (plane-major sorted;
+    padding at the tail)."""
     n_valid = valid.sum()
     plane_clipped = jnp.where(jnp.arange(plane.shape[0]) < n_valid,
                               plane, num_planes)
@@ -163,15 +151,17 @@ def _plane_offsets(plane, valid, num_planes, total):
     return jnp.minimum(offsets, total)
 
 
-def _prep(x, y, plane, weights, valid, num_planes, chunk):
+def _pack_events(x, y, weights, num_planes, plane, valid, chunk):
+    """Pack (x, y, w_0..w_{C-1}) into a DMA-aligned [Ep, 128] f32 array."""
     E, C = weights.shape
+    assert C <= _LANE - 2, f'at most {_LANE - 2} channels supported'
     Ep = _round_up(E, chunk) + chunk   # slack so chunked DMA never overruns
-    pad = Ep - E
-    x = jnp.pad(x.astype(jnp.int32), (0, pad)).reshape(Ep, 1)
-    y = jnp.pad(y.astype(jnp.int32), (0, pad)).reshape(Ep, 1)
-    w = jnp.pad(weights.astype(jnp.float32), ((0, pad), (0, 0)))
+    packed = jnp.zeros((Ep, _LANE), jnp.float32)
+    packed = packed.at[:E, 0].set(x.astype(jnp.float32))
+    packed = packed.at[:E, 1].set(y.astype(jnp.float32))
+    packed = packed.at[:E, 2:2 + C].set(weights.astype(jnp.float32))
     offsets = _plane_offsets(plane, valid, num_planes, E)
-    return x, y, w, offsets, C
+    return packed, offsets, C, Ep
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -190,8 +180,8 @@ def voxelize_pallas(x, y, plane, weights, valid,
 
 def _fwd(x, y, plane, weights, valid,
          num_planes, height, width, chunk, interpret):
-    xp, yp, wp, offsets, C = _prep(x, y, plane, weights, valid,
-                                   num_planes, chunk)
+    packed, offsets, C, Ep = _pack_events(x, y, weights, num_planes, plane,
+                                          valid, chunk)
     cw = C * width
 
     kernel = functools.partial(_fwd_kernel, chunk=chunk, height=height,
@@ -199,18 +189,12 @@ def _fwd(x, y, plane, weights, valid,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_planes,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, height, cw), lambda p, off: (p, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((chunk, 1), jnp.int32),
-            pltpu.VMEM((chunk, 1), jnp.int32),
-            pltpu.VMEM((chunk, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((chunk, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
         ])
     out = pl.pallas_call(
         kernel,
@@ -218,7 +202,7 @@ def _fwd(x, y, plane, weights, valid,
         out_shape=jax.ShapeDtypeStruct((num_planes, height, cw),
                                        jnp.float32),
         interpret=interpret,
-    )(offsets, xp, yp, wp)
+    )(offsets, packed)
     # channel-major [P, H, C, W] -> [P, H, W, C]
     out = out.reshape(num_planes, height, C, width).transpose(0, 1, 3, 2)
     residuals = (x, y, plane, valid)
@@ -235,10 +219,9 @@ def _bwd_vjp(num_planes, height, width, chunk, interpret, residuals, g):
     x, y, plane, valid = residuals
     E = x.shape[0]
     C = g.shape[-1]
-    xp, yp, _, offsets, _ = _prep(x, y, plane,
-                                  jnp.zeros((E, C), jnp.float32), valid,
-                                  num_planes, chunk)
-    Ep = xp.shape[0]
+    packed, offsets, _, Ep = _pack_events(
+        x, y, jnp.zeros((E, C), jnp.float32), num_planes, plane, valid,
+        chunk)
     cw = C * width
     # [P, H, W, C] -> channel-major [P, H, C*W]
     g2 = g.transpose(0, 1, 3, 2).reshape(num_planes, height, cw) \
@@ -251,27 +234,25 @@ def _bwd_vjp(num_planes, height, width, chunk, interpret, residuals, g):
         grid=(num_planes,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, height, cw), lambda p, off: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((chunk, 1), jnp.int32),
-            pltpu.VMEM((chunk, 1), jnp.int32),
-            pltpu.VMEM((chunk, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((chunk, _LANE), jnp.float32),
+            pltpu.VMEM((chunk, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ])
     dw = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Ep, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Ep, _LANE), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(offsets, xp, yp, g2)
+    )(offsets, packed, g2)
     # where() not multiply: rows past the last written chunk are
     # uninitialised (NaN) and 0*NaN would propagate
-    dw = jnp.where(valid[:, None], dw[:E], 0.0)
+    dw = jnp.where(valid[:, None], dw[:E, :C], 0.0)
     # x, y, plane, weights, valid
     return None, None, None, dw, None
 
