@@ -44,8 +44,8 @@ def _onehot_rows(y_col, end, base, chunk, height):
     """[chunk, H] one-hot of y with rows beyond the event range zeroed."""
     idx = base + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     evalid = (idx < end).astype(jnp.float32)              # [chunk, 1]
-    row_iota = jax.lax.broadcasted_iota(jnp.float32, (chunk, height), 1)
-    rows = (y_col == row_iota).astype(jnp.float32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, height), 1)
+    rows = (y_col.astype(jnp.int32) == row_iota).astype(jnp.float32)
     return rows * evalid
 
 
@@ -63,7 +63,7 @@ def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
     end = offsets_ref[p + 1]
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    col_iota = jax.lax.broadcasted_iota(jnp.float32, (chunk, width), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, width), 1)
 
     def body(k, _):
         base = start + k * chunk
@@ -73,7 +73,8 @@ def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
         cp.wait()
 
         rows = _onehot_rows(ev_v[:, 1:2], end, base, chunk, height)
-        xmask = (ev_v[:, 0:1] == col_iota).astype(jnp.float32)
+        xmask = (ev_v[:, 0:1].astype(jnp.int32)
+                 == col_iota).astype(jnp.float32)
         # channel-major weighted columns [chunk, C*W]
         wcols = jnp.concatenate(
             [ev_v[:, 2 + c:3 + c] * xmask for c in range(channels)],
@@ -102,7 +103,7 @@ def _bwd_kernel(offsets_ref,               # i32[P+1]
     start = offsets_ref[p]
     end = offsets_ref[p + 1]
 
-    col_iota = jax.lax.broadcasted_iota(jnp.float32, (chunk, width), 1)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, width), 1)
 
     def body(k, _):
         base = start + k * chunk
@@ -117,7 +118,8 @@ def _bwd_kernel(offsets_ref,               # i32[P+1]
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)              # [chunk, C*W]
-        xmask = (ev_v[:, 0:1] == col_iota).astype(jnp.float32)
+        xmask = (ev_v[:, 0:1].astype(jnp.int32)
+                 == col_iota).astype(jnp.float32)
         dw_v[...] = jnp.zeros(dw_v.shape, dw_v.dtype)
         for c in range(channels):
             dw_v[:, c:c + 1] = jnp.sum(
