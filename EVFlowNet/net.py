@@ -53,7 +53,9 @@ class QuantizationLayer(nn.Module):
     depth: int = 9
     hidden: int = 30
     dtype: jnp.dtype = jnp.float32
-    scatter_method: str = 'scatter'  # 'scatter' (exact) | 'matmul' (MXU)
+    # 'auto' (pallas on TPU, scatter elsewhere) | 'scatter' | 'matmul'
+    # | 'pallas'
+    scatter_method: str = 'auto'
 
     @nn.compact
     def __call__(self, events, timestamps, sample_idx, imsize,
@@ -93,17 +95,24 @@ class QuantizationLayer(nn.Module):
         value = weight * events.polarity[:, None].astype(self.dtype)
         value = jnp.where(valid[:, None], value, 0.0)
 
-        # --- voxel binning (scatter | MXU matmul | pallas kernel) ------
+        # --- voxel binning (auto | scatter | matmul | pallas) ----------
+        # 'auto' selects the Pallas kernel on TPU (17% faster end-to-end,
+        # PERFORMANCE.md) and the XLA scatter elsewhere.
         from dvs_of_training_framework_tpu.ops.voxel import (
             voxelize_matmul, voxelize_scatter)
         plane = safe_sample * L + safe_elem
-        if self.scatter_method == 'pallas':
+        method = self.scatter_method
+        if method == 'auto':
+            import jax
+            on_tpu = jax.default_backend() not in ('cpu', 'gpu')
+            method = 'pallas' if on_tpu else 'scatter'
+        if method == 'pallas':
             from dvs_of_training_framework_tpu.ops.voxel_pallas import \
                 voxelize_pallas
             grid = voxelize_pallas(events.x, events.y, plane, value, valid,
                                    batch_size * L, H, W)
         else:
-            voxelize = (voxelize_matmul if self.scatter_method == 'matmul'
+            voxelize = (voxelize_matmul if method == 'matmul'
                         else voxelize_scatter)
             grid = voxelize(events.x, events.y, plane, value, valid,
                             num_planes=batch_size * L, height=H, width=W)
@@ -184,7 +193,7 @@ class Model(nn.Module):
     activation: str = 'relu'
     base_channels: int = 64
     dtype: str = 'float32'
-    scatter_method: str = 'scatter'
+    scatter_method: str = 'auto'
 
     def setup(self):
         dtype = jnp.dtype(self.dtype)

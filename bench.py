@@ -36,7 +36,7 @@ IMSIZE = (256, 256)
 WARMUP = int(os.environ.get('BENCH_WARMUP', 3))
 ITERS = int(os.environ.get('BENCH_ITERS', 20))
 DTYPE = os.environ.get('BENCH_DTYPE', 'float32')
-SCATTER = os.environ.get('BENCH_SCATTER', 'scatter')
+SCATTER = os.environ.get('BENCH_SCATTER', 'auto')
 
 
 def make_batch(rng):
