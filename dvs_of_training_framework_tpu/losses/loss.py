@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import charbonnier_loss, grid_sample, resize_bilinear
+from ..ops.warp import grid_sample_onehot
 
 
 class SingleScaleLoss:
@@ -31,12 +32,18 @@ class SingleScaleLoss:
     preallocated meshgrid (utils/loss.py:43-55); under jit it constant-folds.
     """
 
-    def __init__(self, pred_shape: Tuple[int, int]):
+    def __init__(self, pred_shape: Tuple[int, int], use_mxu_warp=None):
         self.H, self.W = int(pred_shape[0]), int(pred_shape[1])
         xs = jnp.arange(self.W, dtype=jnp.float32)
         ys = jnp.arange(self.H, dtype=jnp.float32)
         gx, gy = jnp.meshgrid(xs, ys)          # [H, W] each
         self.grid = jnp.stack([gx, gy], axis=0)  # [2, H, W], (x, y)
+        if use_mxu_warp is None:
+            # per-element gathers are the TPU bottleneck (PERFORMANCE.md);
+            # the one-hot MXU warp is exact and differentiable w.r.t. flow
+            # (frames are constants in this objective)
+            use_mxu_warp = jax.default_backend() not in ('cpu', 'gpu')
+        self.use_mxu_warp = use_mxu_warp
 
     def _warp_grid(self, flow: jnp.ndarray) -> jnp.ndarray:
         """Normalized sampling grid: (base + flow) mapped to [-1, 1]."""
@@ -46,8 +53,8 @@ class SingleScaleLoss:
         return jnp.stack([gx, gy], axis=1)       # [N, 2, H, W]
 
     def photometric_loss(self, prev_images, next_images, warp_grid):
-        warped = grid_sample(next_images,
-                             warp_grid.transpose(0, 2, 3, 1))
+        sample = grid_sample_onehot if self.use_mxu_warp else grid_sample
+        warped = sample(next_images, warp_grid.transpose(0, 2, 3, 1))
         return charbonnier_loss(warped - prev_images)
 
     def smoothness_loss(self, flow):

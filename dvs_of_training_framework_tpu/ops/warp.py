@@ -12,6 +12,9 @@ blend) is numerically identical and fast in isolation, but measured ~10x
 slower inside the full jitted training program on TPU v5e (XLA's
 multi-element-slice gather takes a slow path there), so it stays opt-in.
 """
+import functools
+
+import jax
 import jax.lax as lax
 import jax.numpy as jnp
 
@@ -114,3 +117,145 @@ def grid_sample_patch(images: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
             w = tent(iy, ya) * tent(ix, xa) * inb.astype(images.dtype)
             out = out + patches[:, :, :, a, b] * w[:, :, None]
     return out.transpose(0, 2, 1).reshape(N, C, Ho, Wo)
+
+
+# ---------------------------------------------------------------------------
+# One-hot matmul formulation (MXU; images treated as constants).
+# ---------------------------------------------------------------------------
+
+def _corner_values(images, iy, ix, chunk):
+    """Corner values V_ab[o] = img[y0+a, x0+b] (zero outside the image).
+
+    Row extraction runs as batched one-hot matmuls on the MXU (out-of-range
+    rows produce all-zero one-hots, giving zeros-padding for free); column
+    extraction is a masked reduction.  Events are processed in P-chunks via
+    ``lax.scan`` to bound the one-hot footprint.
+
+    Args:
+        images: [N, C, H, W] float32.
+        iy, ix: [N, P] unnormalized sampling coordinates.
+        chunk: chunk length over the P axis (P padded to a multiple).
+
+    Returns:
+        V: [2, 2, N, P, C]  (a = y-corner, b = x-corner)
+    """
+    N, C, H, W = images.shape
+    P = iy.shape[1]
+    pad = (-P) % chunk
+    if pad:
+        iy = jnp.pad(iy, ((0, 0), (0, pad)), constant_values=-10.0)
+        ix = jnp.pad(ix, ((0, 0), (0, pad)), constant_values=-10.0)
+    n_chunks = (P + pad) // chunk
+
+    y0 = jnp.floor(iy).astype(jnp.int32)     # [N, P']
+    x0 = jnp.floor(ix).astype(jnp.int32)
+
+    row_iota = jnp.arange(H, dtype=jnp.int32)
+    col_iota = jnp.arange(W, dtype=jnp.int32)
+
+    def body(_, args):
+        y0c, x0c = args                       # [N, chunk] each
+
+        def corner_rows(y_corner):
+            onehot = (y_corner[:, :, None] == row_iota).astype(jnp.float32)
+            # [N, chunk, H] @ [N, C, H, W] -> [N, chunk, C, W]
+            return jnp.einsum('nph,nchw->npcw', onehot, images,
+                              precision='highest')
+
+        rows0 = corner_rows(y0c)
+        rows1 = corner_rows(y0c + 1)
+
+        def pick_col(rows, x_corner):
+            mask = (x_corner[:, :, None] == col_iota).astype(jnp.float32)
+            return jnp.einsum('npcw,npw->npc', rows, mask,
+                              precision='highest')
+
+        V = jnp.stack([
+            jnp.stack([pick_col(rows0, x0c), pick_col(rows0, x0c + 1)]),
+            jnp.stack([pick_col(rows1, x0c), pick_col(rows1, x0c + 1)]),
+        ])                                    # [2, 2, N, chunk, C]
+        return None, V
+
+    _, Vs = lax.scan(body, None,
+                     (y0.reshape(N, n_chunks, chunk).transpose(1, 0, 2),
+                      x0.reshape(N, n_chunks, chunk).transpose(1, 0, 2)))
+    # [n_chunks, 2, 2, N, chunk, C] -> [2, 2, N, P', C]
+    V = Vs.transpose(1, 2, 3, 0, 4, 5).reshape(2, 2, N, P + pad, C)
+    return V[:, :, :, :P, :]
+
+
+def _unnormalize(grid, H, W):
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    ix = (gx + 1.0) * 0.5 * (W - 1)
+    iy = (gy + 1.0) * 0.5 * (H - 1)
+    return iy, ix
+
+
+def _blend(V, iy, ix):
+    y0 = jnp.floor(iy)
+    x0 = jnp.floor(ix)
+    wy1 = (iy - y0)[None, None, :, :, None]   # weight of the +1 row
+    wx1 = (ix - x0)[None, None, :, :, None]
+    wy = jnp.concatenate([1.0 - wy1, wy1], axis=0)   # [2,1,N,P,1]
+    wx = jnp.concatenate([1.0 - wx1, wx1], axis=1)   # [1,2,N,P,1] -> bcast
+    return (V * wy * wx).sum(axis=(0, 1))            # [N, P, C]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def grid_sample_onehot(images, grid, chunk=2048):
+    """MXU grid_sample: differentiable w.r.t. ``grid`` only.
+
+    Same semantics as ``grid_sample`` but the per-pixel gathers become
+    one-hot contractions (fast on TPU).  ``images`` are treated as
+    constants (stop-gradient) — exactly the photometric-loss use-case,
+    where frames are inputs, not parameters.
+    """
+    out, _ = _gso_fwd(images, grid, chunk)
+    return out
+
+
+def _gso_fwd(images, grid, chunk):
+    images = lax.stop_gradient(images)
+    N, C, H, W = images.shape
+    Ho, Wo = grid.shape[1:3]
+    iy, ix = _unnormalize(grid.reshape(N, Ho * Wo, 2), H, W)
+    V = _corner_values(images, iy, ix, chunk)
+    out = _blend(V, iy, ix)
+    out = out.transpose(0, 2, 1).reshape(N, C, Ho, Wo)
+    return out, (V, iy, ix, (N, C, H, W, Ho, Wo))
+
+
+def _gso_fwd_vjp(images, grid, chunk):
+    # (custom_vjp fwd rules receive arguments in primal order in this JAX
+    # version; only the bwd rule gets nondiff args prepended)
+    return _gso_fwd(images, grid, chunk)
+
+
+def _gso_bwd_vjp(chunk, residuals, g):
+    V, iy, ix, (N, C, H, W, Ho, Wo) = residuals
+    g2 = g.reshape(N, C, Ho * Wo).transpose(0, 2, 1)   # [N, P, C]
+
+    y0 = jnp.floor(iy)
+    x0 = jnp.floor(ix)
+    wy1 = iy - y0
+    wx1 = ix - x0
+    wy0 = 1.0 - wy1
+    wx0 = 1.0 - wx1
+
+    # d out / d ix = sum_a wy_a * (V_a1 - V_a0); similarly for iy
+    dV_dx = (wy0[..., None] * (V[0, 1] - V[0, 0])
+             + wy1[..., None] * (V[1, 1] - V[1, 0]))    # [N, P, C]
+    dV_dy = (wx0[..., None] * (V[1, 0] - V[0, 0])
+             + wx1[..., None] * (V[1, 1] - V[0, 1]))
+
+    dix = (g2 * dV_dx).sum(-1)                          # [N, P]
+    diy = (g2 * dV_dy).sum(-1)
+    # chain through the [-1, 1] normalization
+    dgx = dix * ((W - 1) * 0.5)
+    dgy = diy * ((H - 1) * 0.5)
+    dgrid = jnp.stack([dgx, dgy], axis=-1).reshape(N, Ho, Wo, 2)
+    return jnp.zeros((N, C, H, W), g.dtype), dgrid
+
+
+grid_sample_onehot.defvjp(_gso_fwd_vjp, _gso_bwd_vjp)

@@ -105,3 +105,42 @@ def test_patch_gather_variant_matches(seed):
     b = np.asarray(grid_sample_patch(jnp.asarray(images),
                                      jnp.asarray(grid)))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('seed', [0, 2])
+def test_onehot_variant_matches_values_and_grads(seed):
+    """The MXU one-hot warp matches torch in value AND in grad w.r.t. the
+    sampling grid (images are constants in the photometric loss)."""
+    from dvs_of_training_framework_tpu.ops.warp import grid_sample_onehot
+    import jax
+
+    rng = np.random.default_rng(seed)
+    N, C, H, W = 2, 1, 12, 18
+    Ho, Wo = 10, 14
+    images = rng.normal(size=(N, C, H, W)).astype(np.float32)
+    grid = rng.uniform(-1.3, 1.3, size=(N, Ho, Wo, 2)).astype(np.float32)
+
+    ours = np.asarray(grid_sample_onehot(jnp.asarray(images),
+                                         jnp.asarray(grid), 64))
+    theirs = F.grid_sample(torch.tensor(images), torch.tensor(grid),
+                           mode='bilinear', padding_mode='zeros',
+                           align_corners=True).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+    # gradient w.r.t. grid
+    cot = rng.normal(size=theirs.shape).astype(np.float32)
+
+    def f(g):
+        return (grid_sample_onehot(jnp.asarray(images), g, 64)
+                * jnp.asarray(cot)).sum()
+
+    dgrid = np.asarray(jax.grad(f)(jnp.asarray(grid)))
+
+    tgrid = torch.tensor(grid, requires_grad=True)
+    tout = F.grid_sample(torch.tensor(images), tgrid, mode='bilinear',
+                         padding_mode='zeros', align_corners=True)
+    (tout * torch.tensor(cot)).sum().backward()
+    # torch's grad at exact integer coordinates can differ in measure-zero
+    # floor boundary cases; tolerance covers fp noise only
+    np.testing.assert_allclose(dgrid, tgrid.grad.numpy(),
+                               rtol=1e-4, atol=1e-4)
