@@ -56,7 +56,7 @@ def _onehot_rows(y_col, end, base, chunk, height):
 def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
                 ev_hbm,                    # HBM: f32[Ep, 128] packed events
                 out_ref,                   # VMEM block: f32[1, H, C*W]
-                ev_v, sem,                 # scratch
+                ev_v, sem,                 # scratch (double-buffered)
                 *, chunk, height, width, channels):
     p = pl.program_id(0)
     start = offsets_ref[p]
@@ -64,20 +64,34 @@ def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, width), 1)
+    n_chunks = pl.cdiv(end - start, chunk)
+
+    def in_dma(slot, k):
+        return pltpu.make_async_copy(
+            ev_hbm.at[pl.ds(start + k * chunk, chunk), :],
+            ev_v.at[slot], sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        in_dma(0, 0).start()
 
     def body(k, _):
-        base = start + k * chunk
-        cp = pltpu.make_async_copy(ev_hbm.at[pl.ds(base, chunk), :], ev_v,
-                                   sem)
-        cp.start()
-        cp.wait()
+        slot = k % 2
 
-        rows = _onehot_rows(ev_v[:, 1:2], end, base, chunk, height)
-        xmask = (ev_v[:, 0:1].astype(jnp.int32)
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            in_dma((k + 1) % 2, k + 1).start()
+
+        in_dma(slot, k).wait()
+
+        base = start + k * chunk
+        ev = ev_v[slot]
+        rows = _onehot_rows(ev[:, 1:2], end, base, chunk, height)
+        xmask = (ev[:, 0:1].astype(jnp.int32)
                  == col_iota).astype(jnp.float32)
         # channel-major weighted columns [chunk, C*W]
         wcols = jnp.concatenate(
-            [ev_v[:, 2 + c:3 + c] * xmask for c in range(channels)],
+            [ev[:, 2 + c:3 + c] * xmask for c in range(channels)],
             axis=1)
         contrib = jax.lax.dot_general(
             rows, wcols, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -86,7 +100,6 @@ def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
         out_ref[0] += contrib
         return 0
 
-    n_chunks = pl.cdiv(end - start, chunk)
     jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
@@ -97,44 +110,72 @@ def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
 def _bwd_kernel(offsets_ref,               # i32[P+1]
                 ev_hbm, g_ref,             # f32[Ep,128], VMEM f32[1,H,C*W]
                 dw_ref,                    # HBM out: f32[Ep, 128]
-                ev_v, dw_v, sem,           # scratch
+                ev_v, dw_v, sem, out_sem,  # scratch (double-buffered)
                 *, chunk, height, width, channels):
     p = pl.program_id(0)
     start = offsets_ref[p]
     end = offsets_ref[p + 1]
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (chunk, width), 1)
+    n_chunks = pl.cdiv(end - start, chunk)
+
+    def in_dma(slot, k):
+        return pltpu.make_async_copy(
+            ev_hbm.at[pl.ds(start + k * chunk, chunk), :],
+            ev_v.at[slot], sem.at[slot])
+
+    def out_dma(slot, k):
+        return pltpu.make_async_copy(
+            dw_v.at[slot],
+            dw_ref.at[pl.ds(start + k * chunk, chunk), :],
+            out_sem.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        in_dma(0, 0).start()
 
     def body(k, _):
-        base = start + k * chunk
-        cp = pltpu.make_async_copy(ev_hbm.at[pl.ds(base, chunk), :], ev_v,
-                                   sem.at[0])
-        cp.start()
-        cp.wait()
+        slot = k % 2
 
-        rows = _onehot_rows(ev_v[:, 1:2], end, base, chunk, height)
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            in_dma((k + 1) % 2, k + 1).start()
+
+        in_dma(slot, k).wait()
+
+        base = start + k * chunk
+        ev = ev_v[slot]
+        rows = _onehot_rows(ev[:, 1:2], end, base, chunk, height)
         tmp = jax.lax.dot_general(
             rows, g_ref[0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)              # [chunk, C*W]
-        xmask = (ev_v[:, 0:1].astype(jnp.int32)
+        xmask = (ev[:, 0:1].astype(jnp.int32)
                  == col_iota).astype(jnp.float32)
-        dw_v[...] = jnp.zeros(dw_v.shape, dw_v.dtype)
+
+        # the slot's previous store must have drained before reuse
+        @pl.when(k >= 2)
+        def _():
+            out_dma(slot, k - 2).wait()
+
+        dw_v[slot] = jnp.zeros((chunk, _LANE), jnp.float32)
         for c in range(channels):
-            dw_v[:, c:c + 1] = jnp.sum(
+            dw_v[slot, :, c:c + 1] = jnp.sum(
                 tmp[:, c * width:(c + 1) * width] * xmask,
                 axis=1, keepdims=True)
-
-        cp_o = pltpu.make_async_copy(dw_v,
-                                     dw_ref.at[pl.ds(base, chunk), :],
-                                     sem.at[1])
-        cp_o.start()
-        cp_o.wait()
+        out_dma(slot, k).start()
         return 0
 
-    n_chunks = pl.cdiv(end - start, chunk)
     jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    @pl.when(n_chunks >= 2)
+    def _():
+        out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -195,8 +236,8 @@ def _fwd(x, y, plane, weights, valid,
         out_specs=pl.BlockSpec((1, height, cw), lambda p, off: (p, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((chunk, _LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, chunk, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ])
     out = pl.pallas_call(
         kernel,
@@ -241,8 +282,9 @@ def _bwd_vjp(num_planes, height, width, chunk, interpret, residuals, g):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((chunk, _LANE), jnp.float32),
-            pltpu.VMEM((chunk, _LANE), jnp.float32),
+            pltpu.VMEM((2, chunk, _LANE), jnp.float32),
+            pltpu.VMEM((2, chunk, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ])
     dw = pl.pallas_call(
