@@ -86,17 +86,25 @@ def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
 
         base = start + k * chunk
         ev = ev_v[slot]
-        rows = _onehot_rows(ev[:, 1:2], end, base, chunk, height)
+        rows = _onehot_rows(ev[:, 1:2], end, base, chunk, height) \
+            .astype(jnp.bfloat16)                 # 0/1: exact in bf16
         xmask = (ev[:, 0:1].astype(jnp.int32)
-                 == col_iota).astype(jnp.float32)
-        # channel-major weighted columns [chunk, C*W]
-        wcols = jnp.concatenate(
-            [ev[:, 2 + c:3 + c] * xmask for c in range(channels)],
-            axis=1)
-        contrib = jax.lax.dot_general(
-            rows, wcols, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)              # [H, C*W]
+                 == col_iota).astype(jnp.bfloat16)
+        # bf16x2 weight split: w = hi + lo to ~2^-16 relative, so two
+        # bf16 MXU passes replace the 6-pass fp32 HIGHEST contraction
+        w32 = ev[:, 2:2 + channels]
+        w_hi = w32.astype(jnp.bfloat16)
+        w_lo = (w32 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        contrib = jnp.zeros((height, channels * width), jnp.float32)
+        for part in (w_hi, w_lo):
+            # channel-major weighted columns [chunk, C*W]; products of
+            # bf16 one-hots with bf16 weights are exact
+            wcols = jnp.concatenate(
+                [part[:, c:c + 1] * xmask for c in range(channels)],
+                axis=1)
+            contrib += jax.lax.dot_general(
+                rows, wcols, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [H, C*W]
         out_ref[0] += contrib
         return 0
 
@@ -145,12 +153,17 @@ def _bwd_kernel(offsets_ref,               # i32[P+1]
 
         base = start + k * chunk
         ev = ev_v[slot]
-        rows = _onehot_rows(ev[:, 1:2], end, base, chunk, height)
-        tmp = jax.lax.dot_general(
-            rows, g_ref[0],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)              # [chunk, C*W]
+        rows = _onehot_rows(ev[:, 1:2], end, base, chunk, height) \
+            .astype(jnp.bfloat16)
+        g_plane = g_ref[0]
+        g_hi = g_plane.astype(jnp.bfloat16)
+        g_lo = (g_plane - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        tmp = jnp.zeros((chunk, channels * width), jnp.float32)
+        for part in (g_hi, g_lo):
+            tmp += jax.lax.dot_general(
+                rows, part,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [chunk, C*W]
         xmask = (ev[:, 0:1].astype(jnp.int32)
                  == col_iota).astype(jnp.float32)
 
