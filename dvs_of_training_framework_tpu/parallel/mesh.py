@@ -170,11 +170,20 @@ def make_sharded_train_step(model, evaluator, tx, weights,
     def step_fn(state: TrainState, batch: Batch):
         grads, loss, terms = sharded_grads(state.params, batch)
         inv = 1.0 / accumulation_steps
-        acc = jax.tree_util.tree_map(lambda a, g: a + g * inv,
-                                     state.grad_acc, grads)
-        is_boundary = (state.micro_step + 1) % accumulation_steps == 0
-        new_state = jax.lax.cond(is_boundary, apply_branch, hold_branch,
-                                 state, acc)
+        if accumulation_steps == 1:
+            # fast path: no accumulator traffic, no conditional
+            updates, new_opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(params=new_params,
+                                      opt_state=new_opt_state,
+                                      step=state.step + 1)
+        else:
+            acc = jax.tree_util.tree_map(lambda a, g: a + g * inv,
+                                         state.grad_acc, grads)
+            is_boundary = (state.micro_step + 1) % accumulation_steps == 0
+            new_state = jax.lax.cond(is_boundary, apply_branch,
+                                     hold_branch, state, acc)
         new_state = new_state.replace(micro_step=state.micro_step + 1)
         return new_state, (loss * inv, terms)
 
