@@ -79,6 +79,7 @@ def train(train_step,
     samples_passed = init_samples_passed
     loss_sum = 0.0
     smooth_sum, photo_sum, out_reg_sum = [], [], []
+    pending = []  # device-side (loss, terms) awaiting boundary readback
     init_batch = init_step * accumulation_steps
     global_step = init_batch
     num_skipped = 0
@@ -130,13 +131,18 @@ def train(train_step,
         is_step_boundary = global_step % accumulation_steps == 0
 
         timers('logging').start()
-        smoothness, photometric, out_reg = terms
-        photo_sum = add_loss(photo_sum, photometric)
-        smooth_sum = add_loss(smooth_sum, smoothness)
-        out_reg_sum = add_loss(out_reg_sum, out_reg)
-        loss_sum += float(loss)
+        # keep device scalars; only materialise at the step boundary so the
+        # dispatch pipeline never blocks on metric readback
+        pending.append((loss, terms))
 
         if is_step_boundary:
+            for p_loss, p_terms in pending:
+                smoothness, photometric, out_reg = p_terms
+                photo_sum = add_loss(photo_sum, photometric)
+                smooth_sum = add_loss(smooth_sum, smoothness)
+                out_reg_sum = add_loss(out_reg_sum, out_reg)
+                loss_sum += float(p_loss)
+            pending = []
             for tag, s, p, o in zip(tags, smooth_sum, photo_sum,
                                     out_reg_sum):
                 logger.add_scalar(f'Train/photometric loss/{tag}',
