@@ -6,7 +6,6 @@ frame_generator 139-152, central_shift 14-21).  Semantics are pinned by
 tests/dataset/test_dataset.py in both repos.  Rotation uses the native C++
 ``event_map`` kernel (see ``..native``).
 """
-import abc
 import math
 
 import numpy as np
@@ -44,41 +43,46 @@ class EventCrop:
         return events
 
 
-class IImageCrop(abc.ABC):
-    """Image crop with an overridable box-choice policy.
+def crop_images(img, box, channel_first):
+    """Crop ``img`` to box ``[y0, x0, h, w]``.
 
-    Box convention is ``[y0, x0, h, w]``; channel axis handling matches the
-    reference (channel-first internally, optional channel-last IO).
+    Handles channel-last IO by moving the channel axis next to the spatial
+    axes for the slice and back afterwards; 2-D images are treated as
+    channel-first.
     """
+    moved = img.ndim > 2 and not channel_first
+    if moved:
+        # (..., H, W, C) -> (..., C, H, W)
+        img = np.rollaxis(img, img.ndim - 1, img.ndim - 3)
+    y0, x0, h, w = box[0], box[1], box[2], box[3]
+    res = img[..., y0:y0 + h, x0:x0 + w]
+    if moved:
+        res = np.rollaxis(res, img.ndim - 3, img.ndim)
+    return res
 
-    def __init__(self, return_box, channel_first):
+
+class _CropPolicy:
+    """Callable crop with a box-choice policy (subclasses pick the box)."""
+
+    def __init__(self, return_box=False, channel_first=False):
         self.return_box = return_box
         self.channel_first = channel_first
 
-    @abc.abstractmethod
     def _choose_box(self, img):
         raise NotImplementedError
 
     def __call__(self, img, box=None):
-        channel_first = self.channel_first
-        if img.ndim == 2:
-            channel_first = True
-        elif not channel_first:
-            # (..., H, W, C) -> (..., C, H, W)
-            img = np.rollaxis(img, img.ndim - 1, img.ndim - 3)
+        channel_first = self.channel_first or img.ndim == 2
         if box is None:
-            box = self._choose_box(img)
-        res = img[...,
-                  box[0]:box[0] + box[2],
-                  box[1]:box[1] + box[3]]
-        if img.ndim != 2 and not channel_first:
-            res = np.rollaxis(res, img.ndim - 3, img.ndim)
-        if self.return_box:
-            return res, box
-        return res
+            # choose on the channel-first view so shape[-2:] is spatial
+            view = img if channel_first else \
+                np.rollaxis(img, img.ndim - 1, img.ndim - 3)
+            box = self._choose_box(view)
+        res = crop_images(img, box, channel_first)
+        return (res, box) if self.return_box else res
 
 
-class ImageCrop(IImageCrop):
+class ImageCrop(_CropPolicy):
     """Crop with a fixed box."""
 
     def __init__(self, box, return_box=False, channel_first=False):
@@ -89,7 +93,7 @@ class ImageCrop(IImageCrop):
         return self.box
 
 
-class ImageCentralCrop(IImageCrop):
+class ImageCentralCrop(_CropPolicy):
     """Crop the centered ``shape`` region."""
 
     def __init__(self, shape, return_box=False, channel_first=False):
@@ -97,26 +101,20 @@ class ImageCentralCrop(IImageCrop):
         self.shape = shape
 
     def _choose_box(self, img):
-        start = list(central_shift(img.shape[-2:], self.shape))
-        return start + list(self.shape)
+        return list(central_shift(img.shape[-2:], self.shape)) \
+            + list(self.shape)
 
 
-class ImageRandomCrop(IImageCrop):
+class ImageRandomCrop(_CropPolicy):
     """Crop a uniformly random ``shape`` region."""
 
     def __init__(self, shape, return_box=False, channel_first=False):
         super().__init__(return_box, channel_first)
         self.shape = shape
 
-    @staticmethod
-    def _randint(x):
-        if x == 0:
-            return 0
-        return np.random.randint(x)
-
     def _choose_box(self, img):
-        start = [self._randint(x - y)
-                 for x, y in zip(img.shape[-2:], self.shape)]
+        slack = [x - y for x, y in zip(img.shape[-2:], self.shape)]
+        start = [np.random.randint(s) if s else 0 for s in slack]
         return start + list(self.shape)
 
 
