@@ -170,3 +170,25 @@ def test_oversized_batch_skipped():
                            event_capacity=1)
     assert int(state.step) == 0
     assert samples == 0
+
+
+def test_overfit_single_batch_reduces_loss():
+    """A few high-LR steps on one batch must reduce the training loss —
+    evidence that gradients flow end-to-end through voxelization, UNet,
+    and the self-supervised objective."""
+    from dvs_of_training_framework_tpu.data.schema import pad_batch
+    model, params, tx, evaluator, loader, args = build(
+        plugin='EVFlowNet', base_channels=8)
+    args = make_args(lr=5e-3, half_life=1e9)
+    tx = construct_optimizer(args, params)
+    train_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
+                                 accumulation_steps=1, is_raw=True)
+    state = create_train_state(params, tx)
+    dataset = loader.dataset
+    batch = pad_batch(loader.collate_fn([dataset[0], dataset[1]]),
+                      capacity=CAPACITY)
+    losses = []
+    for _ in range(8):
+        state, (loss, _) = train_step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.98, losses
