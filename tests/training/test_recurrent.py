@@ -57,3 +57,19 @@ def test_recurrent_contract_and_training():
     state, (loss, _) = step(state, probe)
     assert np.isfinite(float(loss))
     assert int(state.step) == 1
+
+
+def test_recurrent_optical_flow_wrapper():
+    import numpy as np
+    import importlib
+    plugin = importlib.import_module('RecurrentFlowNet')
+    of = plugin.OpticalFlow((32, 48), event_capacity=4096,
+                            event_representation_depth=3,
+                            base_channels=4, hidden_channels=4)
+    rng = np.random.default_rng(0)
+    n = 50
+    window = np.stack([rng.integers(0, 48, n), rng.integers(0, 32, n),
+                       np.sort(rng.uniform(1.0, 1.1, n)),
+                       rng.choice([-1, 1], n)]).astype(np.float64)
+    flow = of([window], [1.0], [1.1])
+    assert flow.shape == (1, 32, 48, 2)
