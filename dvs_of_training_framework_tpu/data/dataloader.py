@@ -144,8 +144,11 @@ class HostDataLoader:
             try:
                 for batch in self._batched_samples():
                     q.put(batch)
-            finally:
                 q.put(sentinel)
+            except Exception as exc:  # surfaced on the consumer side
+                q.put(exc)
+            except BaseException:     # interpreter teardown: die quietly
+                pass
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -153,6 +156,8 @@ class HostDataLoader:
             item = q.get()
             if item is sentinel:
                 return
+            if isinstance(item, Exception):
+                raise item
             yield item
 
 
