@@ -203,7 +203,7 @@ def _blend(V, iy, ix):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def grid_sample_onehot(images, grid, chunk=2048):
+def grid_sample_onehot(images, grid, chunk=8192):
     """MXU grid_sample: differentiable w.r.t. ``grid`` only.
 
     Same semantics as ``grid_sample`` but the per-pixel gathers become
