@@ -1,23 +1,17 @@
 """Host-side event/image augmentation primitives (NumPy).
 
 Behavioural parity targets in the reference: utils/data.py (EventCrop 24-42,
-image crops 45-117, RandomRotation 155-220, get_count_image 120-136,
+image crops 45-117, rotation 155-220, get_count_image 120-136,
 frame_generator 139-152, central_shift 14-21).  Semantics are pinned by
-tests/dataset/test_dataset.py in both repos.  Rotation uses the native C++
-``event_map`` kernel (see ``..native``).
+tests/dataset/test_dataset.py in both repos; the implementations here are
+independent (complex-arithmetic rotation table, bincount counting).
+Rotation uses the native C++ ``event_map`` kernel (see ``..native``).
 """
 import math
 
 import numpy as np
 
 from ..native import event_map
-
-
-def prod(iterable):
-    out = 1
-    for value in iterable:
-        out *= value
-    return out
 
 
 def central_shift(in_shape, out_shape):
@@ -125,78 +119,81 @@ def get_count_image(events, imsize):
         events: sequence ``[x, y, t, p]`` of equal-length arrays.
         imsize: ``(height, width)``.
     """
-    x, y = [np.asarray(v).astype(int) for v in events[:2]]
-    idx = np.ravel_multi_index([y, x], imsize)
-    res = np.zeros(imsize, dtype=np.uint64).ravel()
-    np.add.at(res, idx, np.ones(idx.size))
-    return res.reshape(imsize)
+    h, w = imsize
+    x = np.asarray(events[0], dtype=np.int64)
+    y = np.asarray(events[1], dtype=np.int64)
+    counts = np.bincount(y * w + x, minlength=h * w)
+    return counts.astype(np.uint64).reshape(h, w)
 
 
 def frame_generator(events, frames):
-    """Yield ``(events_in_window, start, stop)`` per timestamp pair."""
-    frames = np.array(frames)
-    t = events[2]
-    idx = np.searchsorted(t, frames.ravel(), side='right').reshape(-1, 2)
-    for (start, stop), (i_start, i_stop) in zip(frames, idx):
-        yield [p[i_start:i_stop] for p in events], start, stop
+    """Yield ``(events_in_window, start, stop)`` per timestamp pair.
 
-
-def RandomRotation(interval, shape):
-    """Build a rotation closure with precomputed index maps.
-
-    Returned callable: ``rotation(images, events, angle=None) ->
-    (rotated_images, rotated_events, angle)``.  ``images`` is ``[C, H, W]``;
-    ``events`` rows are ``(x, y, t, p, ...)``.  Rotation is performed as a
-    pixel-index permutation so events and images co-rotate exactly; the event
-    remap runs through the native C++ kernel.
+    A window ``(start, stop]`` contains the events with
+    ``start < timestamp <= stop`` (searchsorted side='right' on both ends).
     """
-    x, y = np.meshgrid(range(shape[1]), range(shape[0]))
-    x, y = x.ravel(), y.ravel()
-    idx = np.ravel_multi_index([y, x], shape)
+    t = np.asarray(events[2])
+    for start, stop in frames:
+        lo, hi = np.searchsorted(t, [start, stop], side='right')
+        yield [column[lo:hi] for column in events], float(start), float(stop)
 
-    xc = x.astype(float) - shape[1] / 2
-    yc = y.astype(float) - shape[0] / 2
 
-    if not hasattr(interval, '__len__'):
-        interval = abs(interval)
-        interval = (-interval, interval)
-    assert len(interval) == 2, 'Specify at most two angles'
-    assert interval[0] <= interval[1]
+class PlanarRotation:
+    """Exact joint rotation of an image stack and its event stream.
 
-    def extend_indices(index, num_samples, im_shape):
-        channel_size = prod(im_shape)
-        sample_shift = np.arange(num_samples).reshape(-1, 1) * channel_size
-        return (sample_shift + index.reshape(1, -1)).reshape(-1)
+    The rotation is realised as a pixel-index permutation: for every
+    destination pixel, the nearest source pixel under the inverse rotation
+    about the image centre is looked up, and the same source->destination
+    table drives both the image gather and the per-event remap (through the
+    native C++ kernel), so events and the pixels under them co-rotate
+    bit-exactly — the property tests/dataset/test_dataset.py pins with the
+    analytic 90-degree case.
 
-    def rotation(images, events, angle=None):
+    Callable as ``rotation(images, events, angle=None)`` with ``images``
+    shaped ``[C, H, W]`` and event rows ``(x, y, t, p, ...)``; returns
+    ``(rotated_images, surviving_events, angle_degrees)``.
+    """
+
+    def __init__(self, degrees, shape):
+        if np.isscalar(degrees):
+            degrees = (-abs(degrees), abs(degrees))
+        lo, hi = degrees
+        assert lo <= hi, f'empty angle interval [{lo}, {hi}]'
+        self.angle_range = (lo, hi)
+        self.shape = tuple(shape)
+        h, w = self.shape
+        # Destination pixels as complex offsets from the image centre,
+        # raveled row-major so position == flat pixel index.
+        u = np.arange(w, dtype=np.float64) - w / 2
+        v = np.arange(h, dtype=np.float64) - h / 2
+        self._centered = (u[None, :] + 1j * v[:, None]).ravel()
+
+    def draw_angle(self):
+        lo, hi = self.angle_range
+        return lo + np.random.rand() * (hi - lo)
+
+    def _permutation(self, angle):
+        """(src, dst) flat-pixel pairs for a rotation by ``angle`` degrees."""
+        h, w = self.shape
+        # Multiplying the centred destination coordinate by e^{i*angle}
+        # yields the source coordinate (x*cos - y*sin, x*sin + y*cos).
+        source = self._centered * np.exp(1j * math.radians(angle))
+        sx = np.rint(source.real + w / 2).astype(np.int64)
+        sy = np.rint(source.imag + h / 2).astype(np.int64)
+        inside = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+        dst = np.flatnonzero(inside)
+        src = sy[inside] * w + sx[inside]
+        return src, dst
+
+    def __call__(self, images, events, angle=None):
         if angle is None:
-            angle = (np.random.rand() * (interval[1] - interval[0])
-                     + interval[0])
-        rad = angle * math.pi / 180
-        cos_a, sin_a = math.cos(rad), math.sin(rad)
-        # source pixel of each destination pixel, rotated about the center
-        x1 = np.rint(cos_a * xc - sin_a * yc + shape[1] / 2)
-        y1 = np.rint(sin_a * xc + cos_a * yc + shape[0] / 2)
-        x1, y1 = x1.astype(int), y1.astype(int)
+            angle = self.draw_angle()
+        src, dst = self._permutation(angle)
 
-        mask = (x1 >= 0) & (x1 < shape[1]) & (y1 >= 0) & (y1 < shape[0])
-        cur_idx = idx[mask]                                   # destination
-        cur_ridx = np.ravel_multi_index([y1[mask], x1[mask]], shape)  # source
+        flat = images.reshape(images.shape[0], -1)
+        rotated = np.zeros_like(flat)
+        rotated[:, dst] = flat[:, src]
 
-        num_channels = images.shape[0]
-        multi_cur_idx = extend_indices(cur_idx, num_channels, shape)
-        multi_cur_ridx = extend_indices(cur_ridx, num_channels, shape)
-
-        # image[dst] = image[src]
-        rimages = np.zeros_like(images).ravel()
-        rimages[multi_cur_idx] = images.ravel()[multi_cur_ridx]
-        rimages = rimages.reshape(images.shape)
-
-        # events at src move to dst (native kernel)
-        revents = event_map(events.astype(np.float32).copy(),
-                            images.shape[1:],
-                            cur_ridx.astype(np.uint64),
-                            cur_idx.astype(np.uint64))
-        return rimages, revents, angle
-
-    return rotation
+        remapped = event_map(events.astype(np.float32).copy(), self.shape,
+                             src.astype(np.uint64), dst.astype(np.uint64))
+        return rotated.reshape(images.shape), remapped, angle

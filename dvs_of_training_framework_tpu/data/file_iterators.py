@@ -3,7 +3,9 @@
 TPU-VM training streams preprocessed HDF5 shards from remote/slow storage;
 a daemon thread copies upcoming shards into a fast local cache directory
 (SSD) ahead of the consumer.  Two policies match the reference
-(utils/file_iterators.py):
+(utils/file_iterators.py — behavioural parity only; the structure here is
+a composition design: a ``_PrefetchPump`` owns the loader thread and its
+flow-control queues, and the two policy classes consume it):
 
 - ``CachingFileIterator`` (strict): every file is processed exactly once per
   epoch; the consumer blocks until the next file is cached, and a full cache
@@ -12,18 +14,17 @@ a daemon thread copies upcoming shards into a fast local cache directory
   next one downloads (better device utilisation when loading is slower than
   processing).
 
-Flow control uses a bounded token queue: the loader thread must deposit a
-token before downloading, so at most ``num_non_cached_files`` downloads sit
-outside the cache.  The deterministic token-driven tests in
+Flow control uses a bounded slot queue: the loader thread must acquire a
+slot before copying, so at most ``num_non_cached_files`` finished downloads
+sit outside the cache.  The deterministic token-driven tests in
 tests/utils/test_file_iterator.py pin the step-by-step cache states.
 """
-from abc import ABC, abstractmethod
-import copy
-from pathlib import Path
 import queue
 import shutil
 import tempfile
 import threading
+from collections import deque
+from pathlib import Path
 
 
 class CacheIsFullError(Exception):
@@ -86,7 +87,7 @@ class FileIterator:
     """Cycle over a file list without caching."""
 
     def __init__(self, files):
-        self.files = copy.deepcopy(list(files))
+        self.files = list(files)
         self.index = 0
 
     def next(self, blocking=True):
@@ -114,88 +115,96 @@ class FileLoader:
         return cached
 
 
-class _CachingIteratorBase(ABC):
-    def __init__(self,
-                 remote_files,
-                 file_loader,
-                 num_files_to_cache,
+class _PrefetchPump:
+    """The loader thread plus its flow-control state.
+
+    Downloads cycle through ``sources`` in order.  The bounded ``_slots``
+    queue caps how many finished-but-uncollected downloads may exist, so a
+    slow consumer back-pressures the loader instead of filling the disk.
+    """
+
+    def __init__(self, sources, loader, max_uncollected):
+        self._sources = list(sources)
+        self._cursor = 0       # next source file to schedule
+        self._pending = 0      # scheduled but not yet collected
+        self._work = queue.Queue()
+        self._slots = queue.Queue(max_uncollected)
+        self._done = queue.Queue()
+        thread = threading.Thread(target=self._run, args=(loader,),
+                                  daemon=True)
+        thread.start()
+
+    def _run(self, loader):
+        while True:
+            source = self._work.get()
+            if source is None:
+                return
+            self._slots.put(None)  # back-pressure: wait for a slot
+            self._done.put(loader(source))
+
+    @property
+    def pending(self):
+        return self._pending
+
+    def schedule(self):
+        """Queue the next source file for download."""
+        self._work.put(self._sources[self._cursor])
+        self._cursor = (self._cursor + 1) % len(self._sources)
+        self._pending += 1
+
+    def collect(self, block):
+        """Take one finished download and schedule its replacement.
+
+        Raises ``queue.Empty`` when ``block`` is false and nothing is ready.
+        """
+        cached = self._done.get(block)
+        self._slots.get()
+        self._pending -= 1
+        self.schedule()
+        return ReleasableFile(cached)
+
+    def restart(self, prime):
+        """Discard everything in flight and rewind to source file 0."""
+        for _ in range(self._pending):
+            stale = ReleasableFile(self._done.get(True))
+            self._slots.get()
+            stale.release()
+            stale.remove()
+        self._pending = 0
+        self._cursor = 0
+        for _ in range(prime):
+            self.schedule()
+
+
+def _drop(cache, position):
+    """Remove the cache's front file from disk; shift the serve position."""
+    cache.popleft().remove()
+    return max(position - 1, 0)
+
+
+class CachingFileIterator:
+    """Strict process-once prefetching iterator.
+
+    Behavioural twin of the reference's FileIteratorWithCache: each file is
+    served exactly once per cycle, released files are evicted, and when all
+    cache slots hold unreleased files ``next`` raises ``CacheIsFullError``.
+    """
+
+    def __init__(self, remote_files, file_loader, num_files_to_cache,
                  num_non_cached_files):
-        self.remote_files = copy.deepcopy(list(remote_files))
-        self.request_queue = queue.Queue()
-        # Bounded token queue = number of downloaded-but-not-yet-cached
-        # files allowed in flight.
-        self.token_queue = queue.Queue(num_non_cached_files)
-        self.response_queue = queue.Queue()
+        remote_files = list(remote_files)
+        self.capacity = min(num_files_to_cache, len(remote_files))
+        self._pump = _PrefetchPump(remote_files, file_loader,
+                                   num_non_cached_files)
+        self._cache = deque()
+        self._served = 0  # cache entries already handed to the consumer
+        for _ in range(self.capacity):
+            self._pump.schedule()
 
-        self.cached_files = []   # files currently in the cache
-        self.idx = 0             # next cache slot to serve
-        self.num_waited = 0      # requested but not yet received files
-        self.cached_end = 0      # next remote file to request
-
-        self._init_cache(num_files_to_cache)
-
-        def loader_thread():
-            while True:
-                remote = self.request_queue.get()
-                if remote is None:
-                    return
-                # blocks while too many files are downloaded-but-uncached
-                self.token_queue.put(None)
-                self.response_queue.put(file_loader(remote))
-
-        self.read_thread = threading.Thread(target=loader_thread,
-                                            daemon=True)
-        self.read_thread.start()
-
-    def _init_cache(self, num_files_to_cache):
-        num_files_to_cache = min(num_files_to_cache, len(self.remote_files))
-        for _ in range(num_files_to_cache):
-            self._request_next_file()
-        self.num_files_to_cache = num_files_to_cache
-
-    def _request_next_file(self):
-        self.request_queue.put(self.remote_files[self.cached_end])
-        self.cached_end = (self.cached_end + 1) % len(self.remote_files)
-        self.num_waited += 1
-
-    def _evict_front(self):
-        assert len(self.cached_files) > 0
-        file = self.cached_files.pop(0)
-        file.remove()
-        self.idx = max(1, self.idx) - 1
-
-    def _receive_file(self, block):
-        # may raise queue.Empty when block is False
-        result = ReleasableFile(self.response_queue.get(block))
-        # consumer received the file: free its token (never blocks)
-        self.token_queue.get(True)
-        self.num_waited -= 1
-        self._request_next_file()
-        return result
-
-    @abstractmethod
-    def next(self, block=True):
-        ...
-
-    def reset(self):
-        """Drop all cached and in-flight files; restart from file 0."""
-        while self.cached_files:
-            file = self.cached_files.pop()
-            file.release()
-            file.remove()
-        for _ in range(self.num_waited):
-            result = ReleasableFile(self.response_queue.get(True))
-            self.token_queue.get(True)
-            result.release()
-            result.remove()
-        self.num_waited = 0
-        self.cached_end = 0
-        self.idx = 0
-        self._init_cache(self.num_files_to_cache)
-
-
-class CachingFileIterator(_CachingIteratorBase):
-    """Strict process-once iterator (reference FileIteratorWithCache)."""
+    # test hook: deterministic tests poll the loader thread's output queue
+    @property
+    def response_queue(self):
+        return self._pump._done
 
     def next(self, block=True):
         """Return the next cached file, or None when non-blocking and
@@ -204,53 +213,88 @@ class CachingFileIterator(_CachingIteratorBase):
         Raises:
             CacheIsFullError: every cache slot holds an unreleased file.
         """
-        # evict files the consumer has released
-        while self.cached_files and not self.cached_files[0].is_in_use():
-            self._evict_front()
-        if self.idx == self.num_files_to_cache:
+        while self._cache and not self._cache[0].is_in_use():
+            self._served = _drop(self._cache, self._served)
+        if self._served == self.capacity:
             raise CacheIsFullError(
                 'List of the cached files is full. Please release the '
-                f"oldest file '{self.cached_files[0].name}'")
-        # pull as many downloaded files into the cache as possible
-        while len(self.cached_files) < self.num_files_to_cache:
+                f"oldest file '{self._cache[0].name}'")
+        while len(self._cache) < self.capacity:
             try:
-                is_blocking = block and len(self.cached_files) <= self.idx
-                self.cached_files.append(self._receive_file(is_blocking))
+                must_wait = block and len(self._cache) <= self._served
+                self._cache.append(self._pump.collect(must_wait))
             except queue.Empty:
                 break
-        if len(self.cached_files) <= self.idx:
+        if self._served >= len(self._cache):
             return None
-        self.idx += 1
-        return self.cached_files[self.idx - 1]
+        self._served += 1
+        return self._cache[self._served - 1]
+
+    def reset(self):
+        """Drop all cached and in-flight files; restart from file 0."""
+        while self._cache:
+            stale = self._cache.pop()
+            stale.release()
+            stale.remove()
+        self._served = 0
+        self._pump.restart(self.capacity)
 
 
-class NonBlockingFileIterator(_CachingIteratorBase):
-    """May re-serve cached files while the next download is in flight
-    (reference FileIteratorNonBlocking)."""
+class NonBlockingFileIterator:
+    """Round-robin over the cache while downloads are in flight.
+
+    Behavioural twin of the reference's FileIteratorNonBlocking: when the
+    next file is still loading, an already-cached file is re-served instead
+    of blocking, trading strict ordering for consumer throughput.
+    """
+
+    def __init__(self, remote_files, file_loader, num_files_to_cache,
+                 num_non_cached_files):
+        remote_files = list(remote_files)
+        self.capacity = min(num_files_to_cache, len(remote_files))
+        self._pump = _PrefetchPump(remote_files, file_loader,
+                                   num_non_cached_files)
+        self._cache = deque()
+        self._position = 0  # round-robin serve index
+        for _ in range(self.capacity):
+            self._pump.schedule()
+
+    @property
+    def response_queue(self):
+        return self._pump._done
 
     def next(self, block=True):
-        while (len(self.cached_files) < self.num_files_to_cache
-               or not self.cached_files[0].is_in_use()):
+        while (len(self._cache) < self.capacity
+               or not self._cache[0].is_in_use()):
             try:
-                block = block and len(self.cached_files) == 0
-                result = self._receive_file(block)
-                if (len(self.cached_files) == self.num_files_to_cache
-                        and not self.cached_files[0].is_in_use()):
-                    self._evict_front()
-                self.cached_files.append(result)
+                block = block and not self._cache
+                fresh = self._pump.collect(block)
+                if (len(self._cache) == self.capacity
+                        and not self._cache[0].is_in_use()):
+                    self._position = _drop(self._cache, self._position)
+                self._cache.append(fresh)
             except queue.Empty:
                 break
-        assert not block or len(self.cached_files) > 0
-        if len(self.cached_files) == 0:
+        if not self._cache:
+            assert not block
             return None
-        self.idx = self.idx % len(self.cached_files)
-        result = self.cached_files[self.idx]
-        result.start_use()
-        self.idx += 1
-        return result
+        self._position %= len(self._cache)
+        served = self._cache[self._position]
+        served.start_use()
+        self._position += 1
+        return served
+
+    def reset(self):
+        """Drop all cached and in-flight files; restart from file 0."""
+        while self._cache:
+            stale = self._cache.pop()
+            stale.release()
+            stale.remove()
+        self._position = 0
+        self._pump.restart(self.capacity)
 
 
-# Backwards-compatible aliases matching the reference class names.
+# Aliases matching the reference class names.
 FileIteratorWithCache = CachingFileIterator
 FileIteratorNonBlocking = NonBlockingFileIterator
 
@@ -261,30 +305,20 @@ def create_file_iterator(files,
                          process_only_once=True):
     """Select and build the right iterator for the cache configuration.
 
-    Mirrors reference utils/file_iterators.py:63-94 including the
-    cache-everything fast path: when the cache can hold every file, all
-    files are copied up front and a plain FileIterator serves them.
+    Same decision table as reference utils/file_iterators.py:63-94,
+    including the cache-everything fast path: when the cache can hold every
+    file, all files are copied up front and a plain FileIterator cycles
+    over the cached copies with no management overhead.
     """
     files = [Path(f) for f in files]
     if cache_dir is None:
         return FileIterator(files)
-    if not process_only_once and num_files_in_cache < len(files):
-        iterator_class = NonBlockingFileIterator
-    else:
-        iterator_class = CachingFileIterator
-    if num_files_in_cache < len(files):
-        cache_size = max(num_files_in_cache - 1, 1)
-        files_not_in_cache = 1
-    else:
-        cache_size = num_files_in_cache
-        files_not_in_cache = 2
-
-    iterator = iterator_class(files,
-                              FileLoader(cache_dir),
-                              cache_size,
-                              files_not_in_cache)
-    if num_files_in_cache < len(files):
-        return iterator
-    # cache everything up front, then iterate without management overhead
-    new_files = [iterator.next().name for _ in files]
-    return FileIterator(new_files)
+    if num_files_in_cache >= len(files):
+        # Warm the whole cache once, then serve without management.
+        warmer = CachingFileIterator(files, FileLoader(cache_dir),
+                                     num_files_in_cache, 2)
+        return FileIterator([warmer.next().name for _ in files])
+    policy = (CachingFileIterator if process_only_once
+              else NonBlockingFileIterator)
+    return policy(files, FileLoader(cache_dir),
+                  max(num_files_in_cache - 1, 1), 1)

@@ -1,9 +1,11 @@
 """Streaming loader over preprocessed encoded HDF5 shards.
 
 Sequential batch reader with cross-file reads, ``.info`` sidecar size
-caching, and exact resume by global sample index (reference
-utils/dataset.py:799-954).  ``set_index`` re-seeks the stream so a resumed
-run continues from the same sample the checkpoint recorded.
+caching, and exact resume by global sample index.  Behavioural parity
+target: reference utils/dataset.py:799-954 (PreprocessedDataloader); the
+implementation is independent — shard sizes are tabulated once up front and
+the loader tracks its own shard position instead of re-deriving sizes from
+cached file handles on every read.
 """
 from pathlib import Path
 
@@ -16,11 +18,28 @@ from . import codec
 from .file_iterators import create_file_iterator
 
 
+def _shard_sample_count(shard_path):
+    """Number of samples in an encoded shard, memoised in a ``.info``
+    yaml sidecar next to the shard."""
+    shard_path = Path(shard_path)
+    sidecar = shard_path.with_suffix('.info')
+    if sidecar.is_file():
+        return int(yaml.safe_load(sidecar.read_text())['size'])
+    with h5py.File(shard_path, 'r') as f:
+        count = len(f['elements_per_sample'])
+    sidecar.write_text(yaml.dump({'size': count}))
+    return count
+
+
 class PreprocessedDataloader:
-    """Iterates batches out of encoded shards.
+    """Iterates decoded batches out of encoded shards.
+
+    Batches may span shard boundaries; ``set_index`` seeks the stream to an
+    arbitrary global sample index (modulo dataset length) so a resumed run
+    continues from the exact sample its checkpoint recorded.
 
     Attributes:
-        sample_index: next sample in the current file.
+        sample_index: next sample within the current shard.
         batch_size: samples per batch.
         files: shard paths.
         length: total samples in the dataset.
@@ -37,53 +56,24 @@ class PreprocessedDataloader:
         self.batch_size = batch_size
         self.is_raw = is_raw
         self.files = sorted(Path(path).glob('*.hdf5'),
-                            key=lambda x: int(x.stem))
-        assert len(self.files) > 0, \
-            f'No preprocessed dataset at {path} (no .hdf5 files)'
+                            key=lambda p: int(p.stem))
+        if not self.files:
+            raise FileNotFoundError(
+                f'No preprocessed dataset at {path} (no .hdf5 files)')
+
+        progress = self.files
+        if show_progress:
+            progress = tqdm.tqdm(progress,
+                                 desc='Reading information about the dataset')
+        self._shard_sizes = [_shard_sample_count(f) for f in progress]
+        self.length = int(sum(self._shard_sizes))
+
         self.iterator = create_file_iterator(
             self.files, cache_dir, process_only_once=process_only_once,
             num_files_in_cache=cache_size)
-        self.sample_index = 0
-        sizes = []
-        files = self.files
-        if show_progress:
-            files = tqdm.tqdm(files,
-                              desc='Reading information about the dataset')
-        for file in files:
-            sizes.append(self._file2size(file, save_info=True))
-        self.length = sum(sizes)
+        self._shard = 0        # index of the current shard in self.files
+        self.sample_index = 0  # next sample within the current shard
         self.current_file = self.iterator.next()
-
-    @staticmethod
-    def _hdf5file2size(filename):
-        with h5py.File(filename, 'r') as f:
-            return len(f['elements_per_sample'])
-
-    def _file2size(self, filename, save_info=False):
-        """Sample count of a shard, memoised in a ``.info`` yaml sidecar."""
-        filename = Path(filename)
-        info_filename = filename.parent / (filename.stem + '.info')
-        if info_filename.is_file():
-            return yaml.safe_load(info_filename.read_text())['size']
-        size = self._hdf5file2size(filename)
-        if save_info:
-            info_filename.write_text(yaml.dump({'size': size}))
-        return size
-
-    def set_index(self, idx: int):
-        """Seek the stream so the next sample served is global index
-        ``idx % length`` (deterministic resume)."""
-        self.sample_index = idx % self.length
-        self.current_file.release()
-        self.iterator.reset()
-        self.current_file = self.iterator.next()
-        while True:
-            file_size = self._file2size(self.current_file.name)
-            if self.sample_index < file_size:
-                break
-            self.sample_index -= file_size
-            self.current_file.release()
-            self.current_file = self.iterator.next()
 
     def __len__(self):
         return self.length
@@ -91,43 +81,53 @@ class PreprocessedDataloader:
     def __iter__(self):
         return self
 
-    @staticmethod
-    def _read_raw_batch(descriptor, begin, end):
-        events_per_element = np.asarray(
-            descriptor['events']['events_per_element'])
-        elements_per_sample = np.asarray(descriptor['elements_per_sample'])
-        return codec.read_encoded_batch(descriptor, events_per_element,
-                                        elements_per_sample, begin, end)
+    def _advance_shard(self):
+        self.current_file.release()
+        self.current_file = self.iterator.next()
+        self._shard = (self._shard + 1) % len(self.files)
+        self.sample_index = 0
 
-    @staticmethod
-    def _read_quantized_batch(descriptor, begin, end):
-        channels_per_sample = np.asarray(descriptor['channels_per_sample'])
-        elements_per_sample = np.asarray(descriptor['elements_per_sample'])
-        return codec.read_encoded_quantized_batch(
-            descriptor, channels_per_sample, elements_per_sample, begin, end)
+    def set_index(self, idx: int):
+        """Seek so the next sample served is global index ``idx % length``
+        (deterministic resume)."""
+        remaining = idx % self.length
+        self.current_file.release()
+        self.iterator.reset()
+        self._shard = 0
+        self.current_file = self.iterator.next()
+        while remaining >= self._shard_sizes[self._shard]:
+            remaining -= self._shard_sizes[self._shard]
+            self._advance_shard()
+        self.sample_index = remaining
+
+    def _read_slice(self, shard, begin, end):
+        """Read encoded samples ``[begin, end)`` out of an open shard."""
+        spans = np.asarray(shard['elements_per_sample'])
+        if self.is_raw:
+            per_element = np.asarray(shard['events']['events_per_element'])
+            return codec.read_encoded_batch(shard, per_element, spans,
+                                            begin, end)
+        channels = np.asarray(shard['channels_per_sample'])
+        return codec.read_encoded_quantized_batch(shard, channels, spans,
+                                                  begin, end)
 
     def __next__(self):
-        """Read the next batch, spanning file boundaries when needed."""
-        num2read = self.batch_size
-        batches = []
-        read_fun = (self._read_raw_batch if self.is_raw
-                    else self._read_quantized_batch)
-        decode_fun = (codec.decode_batch if self.is_raw
-                      else codec.decode_quantized_batch)
-        while num2read > 0:
-            left = self._file2size(self.current_file.name) \
-                - self.sample_index
-            cur_num2read = min(left, num2read)
-            next_sample_index = self.sample_index + cur_num2read
-            if cur_num2read > 0:
+        """Read the next batch, spanning shard boundaries when needed."""
+        pieces = []
+        wanted = self.batch_size
+        while wanted > 0:
+            available = self._shard_sizes[self._shard] - self.sample_index
+            take = min(wanted, available)
+            if take > 0:
+                stop = self.sample_index + take
                 with h5py.File(self.current_file.name, 'r') as f:
-                    batches.append(read_fun(f, self.sample_index,
-                                            next_sample_index))
-            self.sample_index = next_sample_index
-            num2read -= cur_num2read
-            if num2read > 0:
-                self.current_file.release()
-                self.current_file = self.iterator.next()
-                self.sample_index = 0
-        encoded_batch = codec.join_batches(batches)
-        return decode_fun(encoded_batch)
+                    pieces.append(self._read_slice(f, self.sample_index,
+                                                   stop))
+                self.sample_index = stop
+                wanted -= take
+            if wanted > 0:
+                self._advance_shard()
+        merged = codec.join_batches(pieces)
+        decode = (codec.decode_batch if self.is_raw
+                  else codec.decode_quantized_batch)
+        return decode(merged)
