@@ -139,26 +139,46 @@ class HostDataLoader:
             return
         q = queue.Queue(self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def offer(item):
+            """put() that gives up once the consumer has left."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in self._batched_samples():
-                    q.put(batch)
-                q.put(sentinel)
+                    if not offer(batch):
+                        return
+                offer(sentinel)
             except Exception as exc:  # surfaced on the consumer side
-                q.put(exc)
+                offer(exc)
             except BaseException:     # interpreter teardown: die quietly
                 pass
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # The consumer may abandon the loop (break / exception).  The
+            # producer MUST be stopped before interpreter exit: a daemon
+            # thread inside an h5py read at finalisation deadlocks h5py's
+            # atexit hook (observed as a hard hang after main() returns).
+            stop.set()
+            thread.join(timeout=10)
 
 
 def _lazy_map(pool, fn, it, window):

@@ -1,7 +1,11 @@
 """Evaluation harness: run a flow predictor over frame windows and
 accumulate AEE/%AEE, plus test-config expansion.
 
-Reference: utils/testing.py.
+Behavioural parity target: reference utils/testing.py (evaluate 10-108,
+read_config 111-117, ravel_config 133-153).  Independent implementation:
+the per-window pipeline is factored into ``_window_metrics`` feeding a
+running-statistics accumulator, and the config expansion is keyed off a
+normaliser table instead of positional unpacking.
 """
 import itertools
 from types import SimpleNamespace
@@ -11,6 +15,42 @@ import yaml
 
 from ..data.augmentation import frame_generator, get_count_image
 from .flow_metrics import estimate_corresponding_gt_flow, flow_error_dense
+
+
+def _identity(x):
+    return x
+
+
+class _RunningMeans:
+    """Accumulates per-window scalars and reports their means."""
+
+    def __init__(self, *names):
+        self.totals = dict.fromkeys(names, 0.0)
+        self.count = 0
+
+    def add(self, **scalars):
+        for name, value in scalars.items():
+            self.totals[name] += float(value)
+        self.count += 1
+
+    def mean(self, name):
+        return self.totals[name] / self.count
+
+
+def _window_metrics(of, window_events, start, stop, gt, pred_postproc_fun,
+                    gt_proc_fun, is_car):
+    """Predict flow for one frame window and score it against GT.
+
+    Returns (AEE, %AEE, n_points, flow) for the window.
+    """
+    flow = pred_postproc_fun(of([window_events], [start], [stop])[0])
+    gt_u, gt_v = estimate_corresponding_gt_flow(
+        gt['x_flow_dist'], gt['y_flow_dist'], gt['timestamps'], start, stop)
+    gt_flow = gt_proc_fun(np.dstack((gt_u, gt_v)))
+    count_image = get_count_image(window_events, gt_flow.shape[:2])
+    aee, percent_aee, n_points = flow_error_dense(gt_flow, flow,
+                                                  count_image, is_car)
+    return aee, percent_aee, n_points, flow
 
 
 def evaluate(of,
@@ -35,56 +75,32 @@ def evaluate(of,
     Returns:
         (mean AEE, mean %AEE)
     """
-    def ev_pre_fun(x):
-        return x if event_preproc_fun is None else event_preproc_fun(x)
+    event_preproc_fun = event_preproc_fun or _identity
+    pred_postproc_fun = pred_postproc_fun or _identity
+    gt_proc_fun = gt_proc_fun or _identity
 
-    def fl_post_fun(x):
-        return x if pred_postproc_fun is None else pred_postproc_fun(x)
+    stats = _RunningMeans('aee', 'percent_aee', 'max_flow', 'min_flow')
+    for window_events, start, stop in frame_generator(events, frames):
+        window_events = event_preproc_fun(np.array(window_events).T).T
+        aee, percent_aee, n_points, flow = _window_metrics(
+            of, window_events, start, stop, gt,
+            pred_postproc_fun, gt_proc_fun, is_car)
+        stats.add(aee=aee, percent_aee=percent_aee,
+                  max_flow=np.max(flow), min_flow=np.min(flow))
 
-    def gt_post_fun(x):
-        return x if gt_proc_fun is None else gt_proc_fun(x)
-
-    AEE_sum = 0.0
-    percent_AEE_sum = 0.0
-    max_flow_sum = 0.0
-    min_flow_sum = 0.0
-    n = 0
-    for i, (e, start, stop) in enumerate(frame_generator(events, frames)):
-        e = ev_pre_fun(np.array(e).T).T
-        flow = of([e], [start], [stop])[0]
-        flow = fl_post_fun(flow)
-
-        max_flow_sum += np.max(flow)
-        min_flow_sum += np.min(flow)
-
-        U_gt, V_gt = estimate_corresponding_gt_flow(gt['x_flow_dist'],
-                                                    gt['y_flow_dist'],
-                                                    gt['timestamps'],
-                                                    start, stop)
-        gt_flow = np.dstack((U_gt, V_gt))
-        gt_flow = gt_post_fun(gt_flow)
-
-        event_count_image = get_count_image(e, gt_flow.shape[:2])
-        AEE, percent_AEE, n_points = flow_error_dense(gt_flow, flow,
-                                                      event_count_image,
-                                                      is_car)
-        AEE_sum += AEE
-        percent_AEE_sum += percent_AEE
-
-        n = i + 1
-        if log and n % 100 == 0:
+        if log and stats.count % 100 == 0:
             print('-------------------------------')
-            print(f'Iter: {n}')
-            print(f'Mean max flow: {max_flow_sum / n:.2f}, '
-                  f'mean min flow: {min_flow_sum / n:.2f}')
-            print(f'Mean AEE: {AEE_sum / n:.2f}, mean %AEE: '
-                  f'{percent_AEE_sum / n:.2f}, #pts: {n_points},')
+            print(f'Iter: {stats.count}')
+            print(f"Mean max flow: {stats.mean('max_flow'):.2f}, "
+                  f"mean min flow: {stats.mean('min_flow'):.2f}")
+            print(f"Mean AEE: {stats.mean('aee'):.2f}, mean %AEE: "
+                  f"{stats.mean('percent_aee'):.2f}, #pts: {n_points},")
 
-    res = (float(AEE_sum) / n, percent_AEE_sum / n)
+    result = (stats.mean('aee'), stats.mean('percent_aee'))
     if log:
         print('Testing done.')
-        print(f'Mean AEE: {res[0]:.6f}, mean %AEE: {res[1]:.6f}')
-    return res
+        print(f'Mean AEE: {result[0]:.6f}, mean %AEE: {result[1]:.6f}')
+    return result
 
 
 def read_config(filename):
@@ -92,31 +108,31 @@ def read_config(filename):
         return yaml.safe_load(f)
 
 
-def option2list(option):
-    if isinstance(option, list):
-        return option
-    return [option]
+# Per-field normalisers: how a raw config entry becomes a list of variants.
+def _scalar_or_list(value):
+    return value if isinstance(value, list) else [value]
 
 
-def shape2list(option):
-    assert isinstance(option, list)
-    if isinstance(option[0], list):
-        return option
-    return [option]
+def _shape_or_list(value):
+    assert isinstance(value, list)
+    return value if isinstance(value[0], list) else [value]
+
+
+_CONFIG_FIELDS = {'start': _scalar_or_list,
+                  'stop': _scalar_or_list,
+                  'step': _scalar_or_list,
+                  'test_shape': _shape_or_list,
+                  'crop_type': _scalar_or_list,
+                  'is_car': _scalar_or_list}
+
+# Aliases kept for external callers of the reference helper names.
+option2list = _scalar_or_list
+shape2list = _shape_or_list
 
 
 def ravel_config(config):
     """Expand a sequence's test config into its cartesian product."""
-    cfg = {k: option2list(config[k])
-           for k in ['start', 'stop', 'step', 'crop_type', 'is_car']}
-    cfg['test_shape'] = shape2list(config['test_shape'])
-    for (start, stop, step, test_shape, crop_type, is_car) \
-            in itertools.product(cfg['start'], cfg['stop'], cfg['step'],
-                                 cfg['test_shape'], cfg['crop_type'],
-                                 cfg['is_car']):
-        yield SimpleNamespace(start=start,
-                              stop=stop,
-                              step=step,
-                              test_shape=test_shape,
-                              crop_type=crop_type,
-                              is_car=is_car)
+    names = list(_CONFIG_FIELDS)
+    variants = [_CONFIG_FIELDS[name](config[name]) for name in names]
+    for combination in itertools.product(*variants):
+        yield SimpleNamespace(**dict(zip(names, combination)))

@@ -5,7 +5,6 @@ provenance 97-237, is_inside_docker 13-14, mean 22-23, to_tensor 240-259).
 The TPU build keeps host-side batch assembly in NumPy, so these helpers are
 NumPy-first; ``to_array`` replaces torch ``to_tensor``.
 """
-import copy
 import os
 from pathlib import Path
 import re
@@ -38,40 +37,64 @@ def cumsum_with_prefix(arr, dtype=None):
 
 def get_commithash(cwd=None):
     """Git commit hash of the repo at ``cwd`` (default: current directory)."""
-    return subprocess.check_output('git rev-parse --verify HEAD',
-                                   shell=True, cwd=cwd).decode().strip()
+    done = subprocess.run(['git', 'rev-parse', '--verify', 'HEAD'],
+                          cwd=cwd, check=True, capture_output=True)
+    return done.stdout.decode().strip()
 
 
-def encode_args(args):
-    """YAML-encode an argparse namespace (paths/tuples made serialisable)."""
-    result = copy.deepcopy(vars(args))
-    for k, v in result.items():
-        if isinstance(v, Path):
-            result[k] = str(v)
-        elif isinstance(v, tuple):
-            result[k] = list(v)
-    return yaml.dump(result)
+# --- Run provenance ---------------------------------------------------------
+#
+# Every output directory carries a self-describing ``parameters`` file (one
+# structured YAML document: command line, git revisions of the framework and
+# the model plugin, full argument set).  On resume the stored document is
+# compared against the current run so a checkpoint is never silently
+# continued with different code or different hyper-parameters — the same
+# safety gate as reference utils/common.py:97-237, redesigned around a
+# single YAML document instead of a delimited text format.
+
+PROVENANCE_FILENAME = 'parameters'
+
+# Arguments that may differ between a run and its resume without
+# invalidating the output directory.
+_VOLATILE_ARGS = {'allow_arguments_change', 'allow_obsolete_code',
+                  'cache-dir', 'cache_dir'}
+
+
+def _yaml_friendly(value):
+    if isinstance(value, Path):
+        return str(value)
+    if isinstance(value, tuple):
+        return list(value)
+    return value
+
+
+def _optional_commithash(cwd=None):
+    try:
+        return get_commithash(cwd)
+    except subprocess.CalledProcessError:
+        return None
 
 
 def collect_execution_info(args):
-    """argv + git revisions (framework and model plugin) + YAML'd args."""
-    strings = [' '.join(sys.argv),
-               '--',
-               f'commit hash: {get_commithash()}']
-    if 'flownet_path' in vars(args):
-        try:
-            strings.append(
-                f'model commit hash: {get_commithash(args.flownet_path)}')
-        except subprocess.CalledProcessError:
-            # in-tree plugins share the framework repository
-            pass
-    strings.append('--')
-    strings.append(encode_args(args))
-    return '\n'.join(strings)
+    """Build the provenance document for the current run (a YAML string)."""
+    revisions = {'framework': _optional_commithash()}
+    plugin_dir = vars(args).get('flownet_path')
+    if plugin_dir is not None:
+        plugin_hash = _optional_commithash(plugin_dir)
+        # in-tree plugins share the framework repository; only record a
+        # separate revision when the plugin is its own checkout
+        if plugin_hash is not None and plugin_hash != revisions['framework']:
+            revisions['model'] = plugin_hash
+    document = {
+        'command': ' '.join(sys.argv),
+        'revisions': revisions,
+        'arguments': {k: _yaml_friendly(v) for k, v in vars(args).items()},
+    }
+    return yaml.dump(document)
 
 
 def file_for_execution_info(out_dir):
-    return Path(out_dir) / 'parameters'
+    return Path(out_dir) / PROVENANCE_FILENAME
 
 
 def write_execution_info(out_dir, execution_info):
@@ -80,29 +103,29 @@ def write_execution_info(out_dir, execution_info):
 
 def read_execution_info(out_dir):
     path = file_for_execution_info(out_dir)
-    if path.is_file():
-        return path.read_text()
-    return None
+    return path.read_text() if path.is_file() else None
 
 
-def split_execution_info_into_groups(execution_info):
-    return re.split(r'^--$|^--\n|\n--$|\n--\n', execution_info)
+def _parse_execution_info(execution_info):
+    document = yaml.safe_load(execution_info)
+    if not isinstance(document, dict) or 'arguments' not in document:
+        raise ValueError('unrecognised provenance document format')
+    return document
 
 
 def execution_info2code_revisions(execution_info):
-    revisions_group = split_execution_info_into_groups(execution_info)[1]
-    return dict(map(lambda y: y.strip(), x.split(':'))
-                for x in revisions_group.split('\n') if x.strip())
+    return _parse_execution_info(execution_info).get('revisions', {})
 
 
 def execution_info2args(execution_info):
-    return yaml.safe_load(split_execution_info_into_groups(execution_info)[2])
+    return _parse_execution_info(execution_info)['arguments']
 
 
-# Arguments that may differ between a run and its resume without invalidating
-# the output directory.
-_VOLATILE_ARGS = {'allow_arguments_change', 'allow_obsolete_code', 'cache-dir',
-                  'cache_dir'}
+def _assert_shared_entries_match(stored, current, skip, describe):
+    for key in sorted(set(stored) & set(current) - skip):
+        assert stored[key] == current[key], \
+            f'Stored and current {describe} {key} are different ' \
+            f'({stored[key]} vs {current[key]})'
 
 
 def check_execution_info(out_dir, execution_info, args):
@@ -111,25 +134,19 @@ def check_execution_info(out_dir, execution_info, args):
     Overridable via --allow-obsolete-code / --allow-arguments-change
     (reference utils/common.py:205-237).
     """
-    previous_execution_info = read_execution_info(out_dir)
-    if previous_execution_info is None:
+    stored_info = read_execution_info(out_dir)
+    if stored_info is None:
         return
+    stored = _parse_execution_info(stored_info)
+    current = _parse_execution_info(execution_info)
     if not getattr(args, 'allow_obsolete_code', False):
-        previous_revisions = \
-            execution_info2code_revisions(previous_execution_info)
-        current_revisions = execution_info2code_revisions(execution_info)
-        for k in set(previous_revisions) & set(current_revisions):
-            assert previous_revisions[k] == current_revisions[k], \
-                f"Stored and current revisions for repository {k} are " \
-                f"different ({previous_revisions[k]} vs {current_revisions[k]})"
+        _assert_shared_entries_match(
+            stored.get('revisions', {}), current.get('revisions', {}),
+            skip=set(), describe='revisions for repository')
     if not getattr(args, 'allow_arguments_change', False):
-        previous_args = execution_info2args(previous_execution_info)
-        current_args = execution_info2args(execution_info)
-        keys = set(current_args) & set(previous_args)
-        for k in keys - _VOLATILE_ARGS:
-            assert previous_args[k] == current_args[k], \
-                f'Stored and current value for argument {k} are ' \
-                f'different ({previous_args[k]} vs {current_args[k]})'
+        _assert_shared_entries_match(
+            stored['arguments'], current['arguments'],
+            skip=_VOLATILE_ARGS, describe='value for argument')
 
 
 def to_array(data: Union[np.ndarray, Dict, list, float]):

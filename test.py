@@ -7,18 +7,18 @@ per-checkpoint pickles, and aggregates results to TensorBoard keyed by
 samples_passed.  The reference's multi-GPU process pool
 (test.py:191-245 GPUPool) becomes a DevicePool thread scheduler: a single
 process owns all local TPU cores, threads pin work to cores with
-``jax.device_put``, and a least-loaded policy balances checkpoints across
-cores.
+``jax.default_device``, and a least-loaded policy balances checkpoints
+across cores.
 """
-from argparse import ArgumentParser
-from concurrent.futures import ThreadPoolExecutor
 import os
-from pathlib import Path
 import pickle
 import re
 import sys
 import tempfile
 import threading
+from argparse import ArgumentParser
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
 from types import SimpleNamespace
 
 import h5py
@@ -39,115 +39,145 @@ def parse_args(argv=None):
     return args
 
 
-def get_output_path(args):
-    from dvs_of_training_framework_tpu.training.serializer import Serializer
-    if Path(args.model).suffix == '.ckpt':
-        model_path = Path(args.model)
+# --- sequence IO ------------------------------------------------------------
+
+def seq2paths(dataset_path, seq_name):
+    """Raw-data and GT file paths of an MVSEC sequence.
+
+    ``outdoor_day2`` lives under ``<root>/outdoor_day/`` (the trailing
+    digits name the take, the stem names the directory).
+    """
+    take_family = re.sub(r'\d+$', '', seq_name)
+    return (dataset_path / take_family / f'{seq_name}_data.hdf5',
+            dataset_path / 'FlowGT' / take_family /
+            f'{seq_name}_gt_flow_dist.npz')
+
+
+def load_events(path):
+    """Events as 4 row-arrays [x, y, t, p] plus the frame timestamps."""
+    with h5py.File(str(path), 'r') as f:
+        davis = f['davis']['left']
+        columns = np.asarray(davis['events'], dtype=np.float64)
+        image_ts = np.asarray(davis['image_raw_ts'], dtype=np.float64)
+    return columns.T, image_ts
+
+
+def load_gt(path):
+    with np.load(str(path)) as archive:
+        return dict(archive)
+
+
+def load_sequence(dataset_path, seq_name, first_ts):
+    """Assemble the per-sequence record consumed by perform_single_test."""
+    seq_file, gt_file = seq2paths(dataset_path, seq_name)
+    record = SimpleNamespace(name=seq_name, first_ts=first_ts)
+    record.events, record.image_ts = load_events(seq_file)
+    record.gt = load_gt(gt_file)
+    record.imshape = record.gt['x_flow_dist'].shape[1:]
+    return record
+
+
+# --- one (checkpoint, sequence, config) evaluation ---------------------------
+
+def resolve_time_range(cfg, dataset):
+    """Make cfg.start/stop absolute; defaults span the whole sequence."""
+    first = dataset.first_ts
+    cfg.start = first if cfg.start is None else first + cfg.start
+    if cfg.stop is None:
+        cfg.stop = min(dataset.events[2][-1], dataset.gt['timestamps'][-2])
     else:
-        serializer = Serializer(args.model)
-        model_path = serializer._id2path(args.step)
-    return args.output / (model_path.stem + '.pkl')
+        cfg.stop = first + cfg.stop
+    return cfg
 
 
-def preprocess_args(args):
-    """Export a weights-only temp file for the requested step."""
-    from dvs_of_training_framework_tpu.training.serializer import Serializer
-    args.output = get_output_path(args)
-    args.is_temporary_model = True
-    f = tempfile.NamedTemporaryFile(suffix='.ckpt', delete=False)
-    Serializer(args.model).finalize(args.step, f.name)
-    args.model = Path(f.name)
-    f.close()
-    return args
+def generate_frames(cfg, image_ts):
+    """(start, stop) frame-timestamp windows, ``cfg.step`` frames apart."""
+    lo, hi = np.searchsorted(image_ts, [cfg.start, cfg.stop])
+    starts = image_ts[lo:hi - cfg.step]
+    stops = image_ts[lo + cfg.step:hi]
+    return list(zip(starts, stops))
+
+
+def build_crops(imshape, test_shape, crop_type):
+    """(event_crop, image_crop) pair for the configured crop type."""
+    from dvs_of_training_framework_tpu.data.augmentation import (
+        EventCrop, ImageCrop, central_shift)
+    if crop_type != 'central':
+        raise ValueError(f'Unknown crop type "{crop_type}"')
+    box = [*central_shift(imshape, test_shape), *test_shape]
+    return EventCrop(box), ImageCrop(box)
 
 
 def init_model(args, test_shape):
     """Build the plugin's OpticalFlow wrapper (plugin boundary)."""
     from dvs_of_training_framework_tpu.models.loader import (filter_kwargs,
                                                             import_module)
-    module = import_module(f'{Path(args.flownet_path).name}',
-                          Path(args.flownet_path) / '__init__.py')
-    model_kwargs = options2model_kwargs(args)
-    model_kwargs = filter_kwargs(module.OpticalFlow, model_kwargs)
-    if args.model is None:
-        return module.OpticalFlow(test_shape, **model_kwargs)
-    return module.OpticalFlow(test_shape, model=args.model, **model_kwargs)
-
-
-def load_events(path):
-    with h5py.File(str(path), 'r') as data:
-        events = np.array(data['davis']['left']['events'],
-                          dtype=np.float64).T
-        image_ts = np.array(data['davis']['left']['image_raw_ts'],
-                            dtype=np.float64)
-    return events, image_ts
-
-
-def load_gt(path):
-    gt = np.load(str(path))
-    return {k: gt[k] for k in gt.keys()}
-
-
-def get_preprocessing_functions(imshape, test_shape, crop_type):
-    from dvs_of_training_framework_tpu.data.augmentation import (
-        EventCrop, ImageCrop, central_shift)
-    if crop_type == 'central':
-        box = list(central_shift(imshape, test_shape)) + test_shape
-        return EventCrop(box), ImageCrop(box)
-    raise ValueError(f'Unknown crop type "{crop_type}"')
-
-
-def postprocess_config(config, dataset):
-    if config.start is None:
-        config.start = dataset.first_ts
-    else:
-        config.start += dataset.first_ts
-    if config.stop is None:
-        config.stop = min(dataset.events[2][-1],
-                          dataset.gt['timestamps'][-2])
-    else:
-        config.stop += dataset.first_ts
-    return config
-
-
-def generate_frames(cfg, image_ts):
-    b, e = np.searchsorted(image_ts, [cfg.start, cfg.stop])
-    return list(zip(image_ts[b: e - cfg.step], image_ts[b + cfg.step: e]))
-
-
-def seq2paths(dataset_path, seq_name):
-    seq_type = re.sub(r'\d+$', '', seq_name)
-    seq_file = dataset_path / seq_type / (seq_name + '_data.hdf5')
-    gt_file = dataset_path / 'FlowGT' / seq_type / \
-        (seq_name + '_gt_flow_dist.npz')
-    return seq_file, gt_file
+    plugin_dir = Path(args.flownet_path)
+    module = import_module(plugin_dir.name, plugin_dir / '__init__.py')
+    kwargs = filter_kwargs(module.OpticalFlow, options2model_kwargs(args))
+    if args.model is not None:
+        kwargs['model'] = args.model
+    return module.OpticalFlow(test_shape, **kwargs)
 
 
 def perform_single_test(args, cfg, dataset):
     from dvs_of_training_framework_tpu.evaluation import evaluate
-    cfg = postprocess_config(cfg, dataset)
-    dataset.is_car = cfg.is_car
-    dataset.frames = generate_frames(cfg, dataset.image_ts)
-    event_preproc_fun, gt_proc_fun = get_preprocessing_functions(
-        dataset.imshape, cfg.test_shape, cfg.crop_type)
-    of = init_model(args, cfg.test_shape)
-    return evaluate(of,
+    cfg = resolve_time_range(cfg, dataset)
+    event_crop, gt_crop = build_crops(dataset.imshape, cfg.test_shape,
+                                      cfg.crop_type)
+    return evaluate(init_model(args, cfg.test_shape),
                     dataset.events,
-                    dataset.frames,
+                    generate_frames(cfg, dataset.image_ts),
                     dataset.gt,
-                    is_car=dataset.is_car,
-                    event_preproc_fun=event_preproc_fun,
+                    event_preproc_fun=event_crop,
                     pred_postproc_fun=None,
-                    gt_proc_fun=gt_proc_fun,
+                    gt_proc_fun=gt_crop,
+                    is_car=cfg.is_car,
                     log=False)
 
 
-def process_single(args):
+# --- per-checkpoint driver ----------------------------------------------------
+
+def get_output_path(args):
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    if Path(args.model).suffix == '.ckpt':
+        checkpoint = Path(args.model)
+    else:
+        checkpoint = Serializer(args.model)._id2path(args.step)
+    return args.output / (checkpoint.stem + '.pkl')
+
+
+def export_weights_only(args):
+    """Stage a weights-only temp checkpoint for the requested step."""
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    args.output = get_output_path(args)
+    args.is_temporary_model = True
+    handle = tempfile.NamedTemporaryFile(suffix='.ckpt', delete=False)
+    handle.close()
+    Serializer(args.model).finalize(args.step, handle.name)
+    args.model = Path(handle.name)
+    return args
+
+
+def iterate_test_matrix(config, data_dir, info_dir):
+    """Yield (sequence record, raveled config) pairs for the whole matrix."""
     from dvs_of_training_framework_tpu.data.dataset import read_info
-    from dvs_of_training_framework_tpu.evaluation import (ravel_config,
-                                                          read_config)
-    args = preprocess_args(args)
-    if args.output.is_file():
+    from dvs_of_training_framework_tpu.evaluation import ravel_config
+    for ds_name, ds_config in config.items():
+        info = read_info(str(info_dir / f'{ds_name}.hdf5'))
+        for seq_name, seq_config in ds_config.items():
+            dataset = load_sequence(data_dir / ds_name, seq_name,
+                                    info[seq_name])
+            for cfg in ravel_config(seq_config):
+                cfg.dataset = ds_name
+                cfg.sequence = seq_name
+                yield dataset, cfg
+
+
+def process_single(args):
+    from dvs_of_training_framework_tpu.evaluation import read_config
+    args = export_weights_only(args)
+    if args.output.is_file():  # this checkpoint was already evaluated
         if args.is_temporary_model:
             args.model.unlink()
         return
@@ -157,41 +187,24 @@ def process_single(args):
     config = read_config(script_dir / 'config' / 'testing.yml')
 
     results = []
-    for ds_name, ds_config in config.items():
-        ds_dir = data_dir / ds_name
-        info_file = info_dir / (ds_name + '.hdf5')
-        ds_info = read_info(str(info_file))
-        for seq_name, seq_config in ds_config.items():
-            seq_file, gt_file = seq2paths(ds_dir, seq_name)
-
-            dataset = SimpleNamespace(name=seq_name)
-            dataset.events, dataset.image_ts = load_events(seq_file)
-            dataset.gt = load_gt(gt_file)
-            dataset.imshape = dataset.gt['x_flow_dist'].shape[1:]
-            dataset.first_ts = ds_info[seq_name]
-
-            for cfg in ravel_config(seq_config):
-                cfg.dataset = ds_name
-                cfg.sequence = seq_name
-                cfg.mAEE, cfg.mpAEE = perform_single_test(args, cfg, dataset)
-                results.append(cfg)
-                print(f'[{cfg.sequence}, {cfg.start}, {cfg.stop}, '
-                      f'{cfg.step}, {cfg.test_shape}, {cfg.crop_type}, '
-                      f'{cfg.is_car}]: Mean AEE: {cfg.mAEE:.6f}, '
-                      f'mean %AEE: {cfg.mpAEE * 100:.6f}')
+    for dataset, cfg in iterate_test_matrix(config, data_dir, info_dir):
+        cfg.mAEE, cfg.mpAEE = perform_single_test(args, cfg, dataset)
+        results.append(cfg)
+        print(f'[{cfg.sequence}, {cfg.start}, {cfg.stop}, '
+              f'{cfg.step}, {cfg.test_shape}, {cfg.crop_type}, '
+              f'{cfg.is_car}]: Mean AEE: {cfg.mAEE:.6f}, '
+              f'mean %AEE: {cfg.mpAEE * 100:.6f}')
     args.output.parent.mkdir(parents=True, exist_ok=True)
-    with args.output.open('wb') as f:
-        pickle.dump(results, f)
+    args.output.write_bytes(pickle.dumps(results))
     if args.is_temporary_model:
         args.model.unlink()
 
 
 def get_samples_passed(args):
     from dvs_of_training_framework_tpu.training.serializer import Serializer
-    serializer = Serializer(args.model)
-    state = serializer.read_state_dict(args.step)
-    return int(state.get('samples_passed',
-                         int(state['global_step']) * args.bs))
+    state = Serializer(args.model).read_state_dict(args.step)
+    fallback = int(state['global_step']) * args.bs
+    return int(state.get('samples_passed', fallback))
 
 
 class DevicePool:
@@ -243,22 +256,21 @@ def process_all(args):
     from dvs_of_training_framework_tpu.utils.tb import SummaryWriter
 
     args.__dict__.pop('step', None)
-    serializer = Serializer(args.model)
-    all_args = [SimpleNamespace(step=s, **args.__dict__)
-                for s in serializer.list_known_steps()]
+    per_step = [SimpleNamespace(step=s, **args.__dict__)
+                for s in Serializer(args.model).list_known_steps()]
     DevicePool(jax.local_devices(),
-               args.tests_per_device)(process_single, all_args)
+               args.tests_per_device)(process_single, per_step)
+
     writer = SummaryWriter(args.output / 'log')
-    for step_args in all_args:
+    for step_args in per_step:
         samples_passed = get_samples_passed(step_args)
-        with get_output_path(step_args).open('rb') as f:
-            results = pickle.load(f)
-        for result in results:
-            tag = f'{result.dataset}/{result.sequence}/{result.step}/' \
-                  f'{result.start}/{result.stop}'
-            writer.add_scalar(f'Test/mean AEE/{tag}', result.mAEE,
+        results = pickle.loads(get_output_path(step_args).read_bytes())
+        for r in results:
+            tag = (f'{r.dataset}/{r.sequence}/{r.step}/'
+                   f'{r.start}/{r.stop}')
+            writer.add_scalar(f'Test/mean AEE/{tag}', r.mAEE,
                               samples_passed)
-            writer.add_scalar(f'Test/mean %AEE/{tag}', result.mpAEE * 100,
+            writer.add_scalar(f'Test/mean %AEE/{tag}', r.mpAEE * 100,
                               samples_passed)
     writer.close()
 

@@ -4,19 +4,22 @@
 TPU counterpart of the reference visualize.py: for each validation batch,
 draws loss text + the input frames + HSV renderings of the multi-scale flow
 predictions, writing PNGs and YAML statistics via a writer process pool.
+The panel layout matches the reference (finest scale on top, coarser scales
+in a strip below, one column per prediction, offset by the prefix length);
+the implementation is independent.
 """
+import os
+import sys
 from argparse import ArgumentParser
 from multiprocessing import Pool, Queue, cpu_count
-import os
 from pathlib import Path
-import sys
 
 import numpy as np
 import yaml
 
+from dvs_of_training_framework_tpu.utils.common import mean
 from dvs_of_training_framework_tpu.utils.options import (
     add_train_arguments, validate_train_args)
-from dvs_of_training_framework_tpu.utils.common import mean
 
 
 def parse_args(argv):
@@ -26,164 +29,168 @@ def parse_args(argv):
         os.environ.setdefault('JAX_PLATFORMS', args.device)
     from dvs_of_training_framework_tpu.data.dataloader import \
         choose_data_path
-    args = choose_data_path(args)
-    return args
+    return choose_data_path(args)
 
 
-def array2text(data, title):
-    data = list(data)
-    text = ', '.join([f'{x:.4f}' for x in data])
-    return f'{title}: {mean(data):.4f} = [{text}]'
+# --- statistics & caption -----------------------------------------------------
+
+def count_context_events(args, batch):
+    """(prefix, main, suffix) event counts of the batch."""
+    element = batch['events']['element_index']
+    seq_length = int(batch['augmentation_params']['sequence_length'][0])
+    n_prefix = int((element < args.prefix_length).sum())
+    n_suffix = int((element >= seq_length - args.suffix_length).sum())
+    return n_prefix, element.size - n_prefix - n_suffix, n_suffix
 
 
-def join_images(images):
-    images = np.asarray(images).astype(np.uint8)
-    assert images.ndim == 4
-    images = np.transpose(images, axes=(0, 2, 3, 1))
-    images = np.hstack(images)
-    if images.shape[-1] == 1:
-        images = np.tile(images, (1, 1, 3))
-    return images
-
-
-def event_statistics(args, batch):
-    element_index = batch['events']['element_index']
-    num_prefix_events = int((element_index < args.prefix_length).sum())
-    sequence_length = int(batch['augmentation_params']['sequence_length'][0])
-    first_suffix_idx = sequence_length - args.suffix_length
-    num_suffix_events = int((element_index >= first_suffix_idx).sum())
-    num_events = element_index.size
-    num_pred = num_events - num_prefix_events - num_suffix_events
-    return num_prefix_events, num_pred, num_suffix_events
-
-
-def get_events_text(args, batch, statistics):
-    num_prefix_events, num_prediction_events, num_suffix_events = statistics
-    num_events = max(batch['events']['element_index'].size, 1)
-    return (f'{num_events} events: '
-            f'{num_prefix_events} '
-            f'({num_prefix_events * 100 / num_events:.2f}%) prefix '
-            f'+ {num_prediction_events} '
-            f'({num_prediction_events * 100 / num_events:.2f}%) main + '
-            f'{num_suffix_events} '
-            f'({num_suffix_events * 100 / num_events:.2f}%)')
-
-
-def items2floats(array):
-    return [float(x) for x in array]
+def _share(n, total):
+    return f'{n} ({n * 100 / total:.2f}%)'
 
 
 def prepare_text(args, batch, loss, parts, weights):
-    parts = list(map(list, parts))
-    loss_text = ' + '.join([f'{y}*{x:.4f}'
-                            for x, y in zip(map(mean, parts), weights)])
-    ev_stats = event_statistics(args, batch)
+    """Panel caption + YAML statistics for one batch.
+
+    ``parts`` are the per-scale (smoothness, photometric, border) loss terms.
+    """
+    parts = [list(map(float, term)) for term in parts]
+    n_prefix, n_main, n_suffix = count_context_events(args, batch)
     statistics = {'loss': float(loss),
-                  'smoothness': items2floats(parts[0]),
-                  'photometric': items2floats(parts[1]),
-                  'border': items2floats(parts[2]),
-                  'prefix_size': int(ev_stats[0]),
-                  'pred_size': int(ev_stats[1]),
-                  'suffix_size': int(ev_stats[2])}
-    text = (f'loss: {float(loss):.4f} = {loss_text}\n'
-            + '\n'.join(map(array2text, parts,
-                            ['smoothness', 'photometric', 'border']))
-            + '\n' + get_events_text(args, batch, ev_stats))
-    return text, statistics
+                  'smoothness': parts[0],
+                  'photometric': parts[1],
+                  'border': parts[2],
+                  'prefix_size': n_prefix,
+                  'pred_size': n_main,
+                  'suffix_size': n_suffix}
+
+    weighted = ' + '.join(f'{w}*{mean(term):.4f}'
+                          for term, w in zip(parts, weights))
+    per_scale = '\n'.join(
+        f'{name}: {mean(term):.4f} = '
+        f'[{", ".join(f"{x:.4f}" for x in term)}]'
+        for name, term in zip(('smoothness', 'photometric', 'border'),
+                              parts))
+    total = max(n_prefix + n_main + n_suffix, 1)
+    caption = (f'loss: {float(loss):.4f} = {weighted}\n'
+               f'{per_scale}\n'
+               f'{total} events: {_share(n_prefix, total)} prefix '
+               f'+ {_share(n_main, total)} main + '
+               f'{_share(n_suffix, total)}')
+    return caption, statistics
 
 
-def put_image(dst, src, x0, y0):
-    H, W = src.shape[:2]
-    dst[y0: y0 + H, x0: x0 + W] = src
+# --- panel assembly -----------------------------------------------------------
+
+def _blit(canvas, tile, x, y):
+    h, w = tile.shape[:2]
+    canvas[y:y + h, x:x + w] = tile
+
+
+def join_images(images):
+    """Input frames side by side as one RGB strip."""
+    images = np.asarray(images).astype(np.uint8)
+    assert images.ndim == 4
+    strip = np.hstack(np.transpose(images, (0, 2, 3, 1)))
+    if strip.shape[-1] == 1:
+        strip = np.tile(strip, (1, 1, 3))
+    return strip
 
 
 def visualize_prediction(prediction, vis_flow):
-    flows = tuple(np.transpose(np.asarray(x), (1, 2, 0))
-                  for x in prediction)
-    images = tuple(map(vis_flow, flows))
-    H, W = images[-1].shape[:2]
-    if len(images) > 1:
-        H += images[-2].shape[0]
-    D = images[-1].shape[2]
-    res = np.zeros((H, W, D), dtype=np.uint8)
-    put_image(res, images[-1], 0, 0)
-    x0 = 0
-    y0 = images[-1].shape[0]
-    for img in images[-2::-1]:
-        put_image(res, img, x0, y0)
-        x0 += img.shape[1]
-    return res
+    """One prediction as a panel: finest scale on top, the coarser scales
+    left-aligned in a strip below it."""
+    rendered = [vis_flow(np.transpose(np.asarray(flow), (1, 2, 0)))
+                for flow in prediction]
+    finest, coarser = rendered[-1], rendered[-2::-1]
+    strip_h = coarser[0].shape[0] if coarser else 0
+    canvas = np.zeros((finest.shape[0] + strip_h, finest.shape[1],
+                       finest.shape[2]), dtype=np.uint8)
+    _blit(canvas, finest, 0, 0)
+    x = 0
+    for tile in coarser:
+        _blit(canvas, tile, x, finest.shape[0])
+        x += tile.shape[1]
+    return canvas
 
 
 def visualize_predictions(args, batch, predictions, vis_flow):
-    num_predictions = predictions['prediction'][-1].shape[0]
-    per_sample = [[x[i] for x in predictions['prediction']]
-                  for i in range(num_predictions)]
-    images = tuple(visualize_prediction(p, vis_flow) for p in per_sample)
-    image = np.concatenate(images, axis=1)
-    image_h, image_w = images[0].shape[:2]
-    sequence_length = int(batch['augmentation_params']['sequence_length'][0])
-    res = np.zeros((image_h, image_w * (sequence_length + 1), 3),
-                   dtype=np.uint8)
-    x_shift = args.prefix_length * image_w + image_w // 2
-    put_image(res, image, x_shift, 0)
-    return res
+    """All predictions side by side, offset by the prefix context."""
+    flows_per_scale = predictions['prediction']
+    n_predictions = flows_per_scale[-1].shape[0]
+    panels = [visualize_prediction([scale[i] for scale in flows_per_scale],
+                                   vis_flow)
+              for i in range(n_predictions)]
+    row = np.concatenate(panels, axis=1)
+    panel_h, panel_w = panels[0].shape[:2]
+    seq_length = int(batch['augmentation_params']['sequence_length'][0])
+    canvas = np.zeros((panel_h, panel_w * (seq_length + 1), 3),
+                      dtype=np.uint8)
+    _blit(canvas, row, args.prefix_length * panel_w + panel_w // 2, 0)
+    return canvas
 
 
 def visualize(args, batch, loss, parts, weights, prediction, vis_flow):
-    joined_images = join_images(batch['images'])
-    res = np.zeros([80, joined_images.shape[1], 3], dtype=np.uint8)
-    text, statistics = prepare_text(args, batch, loss, parts, weights)
+    """Full panel: caption banner, input frames, flow renderings."""
     from PIL import Image, ImageDraw
-    image = Image.fromarray(res)
-    ImageDraw.Draw(image).text((0, 0), text, (255, 255, 255))
-    image = np.asarray(image)
-    flow_image = visualize_predictions(args, batch, prediction, vis_flow)
-    image = np.concatenate([image, joined_images, flow_image], axis=0)
-    return image, statistics
+    frames = join_images(batch['images'])
+    caption, statistics = prepare_text(args, batch, loss, parts, weights)
+    banner = Image.fromarray(np.zeros((80, frames.shape[1], 3), np.uint8))
+    ImageDraw.Draw(banner).text((0, 0), caption, (255, 255, 255))
+    flow_row = visualize_predictions(args, batch, prediction, vis_flow)
+    panel = np.concatenate([np.asarray(banner), frames, flow_row], axis=0)
+    return panel, statistics
+
+
+# --- output -------------------------------------------------------------------
+
+def files(stem):
+    """(png, yml) output paths for a panel stem."""
+    return stem.parent / f'{stem.name}.png', stem.parent / f'{stem.name}.yml'
 
 
 def choose_output_path(args):
-    path = Path(__file__).resolve().parent
-    model_name = args.model.name
-    path = path / 'visualization' / model_name
-    if args.sp is None:
-        path = path / 'step_0'
-    else:
-        path = path / Path(args.sp).stem
-    path.mkdir(parents=True, exist_ok=True)
-    return path
+    leaf = 'step_0' if args.sp is None else Path(args.sp).stem
+    out = (Path(__file__).resolve().parent / 'visualization'
+           / args.model.name / leaf)
+    out.mkdir(parents=True, exist_ok=True)
+    return out
 
 
 def image_writer(image_queue):
+    """Writer-process loop: drain panels until the None sentinel."""
     from PIL import Image
-    while True:
-        data = image_queue.get()
-        if data is None:
-            break
-        path, image, statistics = data
-        image_file, yaml_file = files(path)
-        if not image_file.is_file():
-            Image.fromarray(image[..., ::-1]).save(image_file)  # BGR -> RGB
-        if not yaml_file.is_file():
-            with yaml_file.open('w') as f:
-                yaml.dump(statistics, f)
+    for stem, panel, statistics in iter(image_queue.get, None):
+        png, yml = files(stem)
+        if not png.is_file():
+            Image.fromarray(panel[..., ::-1]).save(png)  # BGR -> RGB
+        if not yml.is_file():
+            yml.write_text(yaml.dump(statistics))
 
 
-def files(filename):
-    dirname = filename.parent
-    name = filename.name
-    return dirname / (name + '.png'), dirname / (name + '.yml')
+class PanelWriterPool:
+    """Process pool draining a panel queue (PNG encode off the main loop)."""
+
+    def __init__(self, num_writers=None):
+        self.num_writers = num_writers or cpu_count()
+        self.queue = Queue()
+        self._pool = Pool(self.num_writers, image_writer, (self.queue,))
+
+    def submit(self, stem, panel, statistics):
+        self.queue.put((stem, panel, statistics))
+
+    def close(self):
+        for _ in range(self.num_writers):
+            self.queue.put(None)
+        self._pool.close()
+        self._pool.join()
 
 
 def main():
-    image_queue = Queue()
-    num_writers = cpu_count()
-    worker = Pool(num_writers, image_writer, (image_queue,))
+    writers = PanelWriterPool()
     args = parse_args(sys.argv[1:])
     args.mbs = 1
 
     import jax
+    import tqdm
     from dvs_of_training_framework_tpu.data.dataloader import (
         get_dataloader, get_valset_params)
     from dvs_of_training_framework_tpu.data.schema import pad_batch
@@ -219,10 +226,9 @@ def main():
         total = len(loader)
     except TypeError:
         total = None
-    import tqdm
     for i, batch in tqdm.tqdm(enumerate(loader), total=total):
-        output_file_path = output_dir / f'{i:04d}'
-        if all(x.is_file() for x in files(output_file_path)):
+        stem = output_dir / f'{i:04d}'
+        if all(path.is_file() for path in files(stem)):
             continue
         if batch['events']['x'].size > args.event_capacity:
             continue
@@ -232,16 +238,11 @@ def main():
         prediction = {'prediction': [np.asarray(f) for f in flows],
                       'flow_ts': np.asarray(flow_ts),
                       'flow_sample_idx': np.asarray(flow_sample_idx)}
-        visualization, stat = visualize(args, batch, loss,
-                                        [list(map(float, t))
-                                         for t in terms],
-                                        args.loss_weights, prediction,
-                                        vis_module.vis_flow)
-        image_queue.put((output_file_path, visualization, stat))
-    for _ in range(num_writers):
-        image_queue.put(None)
-    worker.close()
-    worker.join()
+        panel, statistics = visualize(
+            args, batch, loss, [list(map(float, t)) for t in terms],
+            args.loss_weights, prediction, vis_module.vis_flow)
+        writers.submit(stem, panel, statistics)
+    writers.close()
 
 
 if __name__ == '__main__':
