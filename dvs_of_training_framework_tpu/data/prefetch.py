@@ -12,6 +12,20 @@ import threading
 import jax
 
 
+def _device_put_tree(batch, device):
+    """device_put numpy leaves; leave committed jax.Arrays in place.
+
+    Mesh-sharded batches arrive already committed with a NamedSharding —
+    re-putting them onto the default device would undo the sharding.
+    """
+    def put(x):
+        if isinstance(x, jax.Array):
+            return x
+        return jax.device_put(x, device) if device is not None \
+            else jax.device_put(x)
+    return jax.tree_util.tree_map(put, batch)
+
+
 def prefetch_to_device(batch_iter, prepare_fn, depth: int = 2,
                        device=None):
     """Yield ``(host_batch, device_batch)`` with background preparation.
@@ -24,29 +38,68 @@ def prefetch_to_device(batch_iter, prepare_fn, depth: int = 2,
         depth: number of batches staged ahead.
         device: target device for ``jax.device_put`` (default: default
             device).
+
+    The generator owns a producer thread.  Abandoning the generator
+    (break / exception / GC) stops the thread and closes ``batch_iter``;
+    a daemon thread left inside an h5py read at interpreter exit
+    deadlocks h5py's atexit hook, so the shutdown path is load-bearing.
     """
     q = queue.Queue(maxsize=depth)
+    stop = threading.Event()
     sentinel = object()
+
+    def offer(item):
+        """put() that gives up once the consumer has left."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for host_batch in batch_iter:
+                if stop.is_set():
+                    break
                 try:
-                    device_batch = prepare_fn(host_batch)
-                    if device is not None:
-                        device_batch = jax.device_put(device_batch, device)
-                    else:
-                        device_batch = jax.device_put(device_batch)
+                    device_batch = _device_put_tree(prepare_fn(host_batch),
+                                                    device)
                 except OverflowError:
                     device_batch = None
-                q.put((host_batch, device_batch))
+                if not offer((host_batch, device_batch)):
+                    break
+            else:
+                offer(sentinel)
+        except Exception as exc:   # surfaced on the consumer side
+            offer(exc)
+        except BaseException:      # interpreter teardown: die quietly
+            return
         finally:
-            q.put(sentinel)
+            close = getattr(batch_iter, 'close', None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # drain so a blocked offer() notices stop quickly
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join(timeout=10)

@@ -5,6 +5,7 @@ reference loop (utils/training.py:89-271): oversized-batch skipping,
 per-scale loss logging keyed by samples_passed, periodic hooks called at
 optimizer-step boundaries, and a validation pass.
 """
+from ..data.prefetch import prefetch_to_device
 from ..data.schema import pad_batch
 from ..utils.timer import FakeTimer
 
@@ -47,7 +48,8 @@ def train(train_step,
           init_samples_passed=0,
           max_events_per_batch: int = 350000,
           on_state_update=None,
-          prepare_batch=None):
+          prepare_batch=None,
+          prefetch_depth: int = 2):
     """Run the training loop.
 
     Args:
@@ -66,6 +68,10 @@ def train(train_step,
             by hooks that need fresh params, e.g. serialization).
         prepare_batch: optional ``(collated, capacity) -> device Batch``
             override (the mesh path shards batches across devices here).
+        prefetch_depth: number of batches padded + device_put ahead on a
+            background thread so H2D transfer overlaps device compute
+            (0 = synchronous; TPU analogue of the reference's pinned-memory
+            worker prefetch, utils/dataloader.py:39,103-108).
 
     Returns:
         (state, samples_passed)
@@ -85,40 +91,46 @@ def train(train_step,
     num_skipped = 0
     capacity = min(event_capacity, max_events_per_batch)
 
+    def make_device_batch(host_batch):
+        num_events = batch_num_events(host_batch, is_raw)
+        if num_events > capacity:
+            raise OverflowError(f'{num_events} events > capacity {capacity}')
+        if prepare_batch is not None:
+            return prepare_batch(host_batch, capacity)
+        return pad_batch(host_batch, capacity=capacity if is_raw else None)
+
+    if prefetch_depth > 0:
+        stream = prefetch_to_device(iter(loader), make_device_batch,
+                                    depth=prefetch_depth)
+    else:
+        def _sync_stream():
+            for host_batch in loader:
+                try:
+                    yield host_batch, make_device_batch(host_batch)
+                except OverflowError:
+                    yield host_batch, None
+        stream = _sync_stream()
+
     timers('batch_construction').start()
-    for batch in loader:
+    for batch, device_batch in stream:
         if global_step == num_steps * accumulation_steps:
             break
-        num_events = batch_num_events(batch, is_raw)
-        if num_events > capacity:
+        if device_batch is None:
+            # oversized batch (reference circuit breaker,
+            # utils/training.py:141-150) or per-shard imbalance overflow
             num_skipped += 1
+            num_events = batch_num_events(batch, is_raw)
             num_processed = global_step - init_batch
             print(f'Skipping batch with {num_events} events')
-            print(f'Augmentation parameters {batch["augmentation_params"]}')
+            if num_events > capacity:
+                print('Augmentation parameters '
+                      f'{batch["augmentation_params"]}')
             rate = num_processed / max(num_processed + num_skipped, 1)
             print(f'Processing rate is {rate:.2f}')
             continue
         global_step += 1
         timers('batch_construction').stop()
         samples_passed += batch['size']
-
-        timers('batch2device').start()
-        try:
-            if prepare_batch is not None:
-                device_batch = prepare_batch(batch, capacity)
-            else:
-                device_batch = pad_batch(batch, capacity=capacity if is_raw
-                                         else None)
-        except OverflowError as exc:
-            # per-shard imbalance can overflow even when the total fits
-            timers('batch2device').stop()
-            num_skipped += 1
-            global_step -= 1
-            samples_passed -= batch['size']
-            print(f'Skipping batch: {exc}')
-            timers('batch_construction').start()
-            continue
-        timers('batch2device').stop()
         if throughput is not None:
             throughput.batch_size = batch['size']
             throughput.start()
@@ -172,7 +184,6 @@ def train(train_step,
                 timers(k).stop()
 
         timers.log(names=['batch_construction',
-                          'batch2device',
                           'train_step',
                           'logging'] + list(hooks))
         timers('batch_construction').start()

@@ -43,3 +43,44 @@ def test_prefetch_preserves_order_and_flags_overflow():
     assert host1['events']['x'].size == 999
     _, dev2 = out[2]
     assert int(dev2.events.num_events) == 20
+
+
+def test_prefetch_closes_source_on_abandonment():
+    """Abandoning the generator must stop the producer and close the
+    source iterator (h5py atexit deadlocks on live daemon readers)."""
+    import threading
+    closed = threading.Event()
+
+    def source():
+        try:
+            i = 0
+            while True:  # infinite, like the training loader
+                yield make_host_batch(10, i)
+                i += 1
+        finally:
+            closed.set()
+
+    def prepare(b):
+        return pad_batch(b, capacity=64)
+
+    gen = prefetch_to_device(source(), prepare, depth=2)
+    next(gen)
+    gen.close()  # consumer leaves early
+    assert closed.wait(timeout=10), 'source iterator was not closed'
+
+
+def test_prefetch_keeps_committed_arrays_in_place():
+    """Already-committed jax.Arrays (mesh-sharded batches) must not be
+    re-put onto the default device."""
+    import jax
+    import jax.numpy as jnp
+
+    marker = jnp.arange(4.0)
+
+    def prepare(b):
+        return {'x': marker, 'y': np.arange(3.0)}
+
+    (host, dev), = list(prefetch_to_device(
+        iter([make_host_batch(5)]), prepare, depth=1))
+    assert dev['x'] is marker           # untouched
+    assert isinstance(dev['y'], jax.Array)  # numpy leaf transferred
