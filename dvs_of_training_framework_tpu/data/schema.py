@@ -54,7 +54,8 @@ class Batch:
         data: float32 ``[B, C, H, W]`` dense event representation or None.
         timestamps: float32 ``[D]`` image timestamps (D = sum of
             elements_per_sample + 1; padded entries are 0).
-        sample_idx: int32 ``[D]`` sample of each timestamp (-1 for padding).
+        sample_idx: int32 ``[D]`` sample of each timestamp (``size`` marks
+            padding slots in the dynamic-length layout).
         images: float32 ``[D, 1, H, W]`` grayscale frames at the timestamps.
         size: static python int — number of samples B.
     """
@@ -118,9 +119,58 @@ def pad_events(events: dict, batch_size: int, capacity: int) -> EventBuffer:
         num_events=np.int32(n))
 
 
+def layout_sample_slots(collated: dict, max_seq_length: int) -> dict:
+    """Re-layout a variable-length batch into uniform per-sample slots.
+
+    With ``--dynamic-sample-length`` samples carry different element counts
+    ``L_b``, so the flat timestamp/image axis ``D = sum(L_b + 1)`` varies per
+    batch — a fresh XLA compile each time.  This gives every sample a fixed
+    block of ``S = max_seq_length + 1`` slots: real entries first, then
+    padding marked by ``sample_idx = size`` (out of range: no prediction
+    matches it in the loss and ``segment_starts`` drops it — a negative
+    marker would WRAP in scatter ops), with zero images.  The result
+    is statically shaped, so ONE compile covers every length mix — the TPU
+    counterpart of the reference's ragged dynamic batches
+    (utils/options.py:104-107, DummyNet/net.py:5-39 get_local_idx).
+
+    A batch whose samples all already have ``max_seq_length`` elements maps
+    to itself (the static layout is the special case).
+    """
+    size = int(collated['size'])
+    S = max_seq_length + 1
+    src_sample = np.asarray(collated['sample_idx'])
+    timestamps = np.asarray(collated['timestamps'], dtype=np.float32)
+    images = np.asarray(collated['images'], dtype=np.float32)
+    if images.ndim == 3:
+        images = images[:, None]
+
+    counts = np.bincount(src_sample, minlength=size)
+    if counts.max(initial=0) > S:
+        raise OverflowError(
+            f'sample with {counts.max()} timestamps exceeds slot size {S}')
+    # destination of every source entry: sample_block_start + local_index
+    local = np.arange(src_sample.size) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+    dst = src_sample * S + local
+
+    out_ts = np.zeros(size * S, np.float32)
+    out_sidx = np.full(size * S, size, np.int64)
+    out_images = np.zeros((size * S,) + images.shape[1:], np.float32)
+    out_ts[dst] = timestamps
+    out_sidx[dst] = src_sample
+    out_images[dst] = images
+
+    out = dict(collated)
+    out['timestamps'] = out_ts
+    out['sample_idx'] = out_sidx
+    out['images'] = out_images
+    return out
+
+
 def pad_batch(collated: dict,
               capacity: Optional[int] = None,
-              buckets=None) -> Batch:
+              buckets=None,
+              sequence_length: Optional[int] = None) -> Batch:
     """Convert a host-collated ragged batch dict into a device-ready Batch.
 
     Args:
@@ -128,7 +178,12 @@ def pad_batch(collated: dict,
             'events') or a decoded quantized batch (has 'data').
         capacity: fixed event capacity; mutually exclusive with buckets.
         buckets: sorted capacities; the smallest fitting one is used.
+        sequence_length: when set (dynamic sample length), re-layout the
+            timestamp/image axis into uniform per-sample slots of
+            ``sequence_length + 1`` entries (see layout_sample_slots).
     """
+    if sequence_length is not None:
+        collated = layout_sample_slots(collated, sequence_length)
     size = int(collated['size'])
     images = np.asarray(collated['images'], dtype=np.float32)
     if images.ndim == 3:

@@ -38,7 +38,7 @@ class ValidationHook:
     """Runs a validation pass over the validation loader."""
 
     def __init__(self, eval_step, get_params, loader_factory, logger, tags,
-                 is_raw=True, event_capacity=2 ** 18):
+                 is_raw=True, event_capacity=2 ** 18, sequence_length=None):
         """
         Args:
             eval_step: jitted (params, batch) -> (loss, terms).
@@ -55,8 +55,10 @@ class ValidationHook:
         self.tags = copy.deepcopy(list(tags))
         self.is_raw = is_raw
         self.event_capacity = event_capacity
+        self.sequence_length = sequence_length
 
     def __call__(self, steps: int, samples: int):
         validate(self.eval_step, self.get_params(), self.loader_factory(),
                  samples, self.logger, self.tags, is_raw=self.is_raw,
-                 event_capacity=self.event_capacity)
+                 event_capacity=self.event_capacity,
+                 sequence_length=self.sequence_length)

@@ -49,7 +49,8 @@ def train(train_step,
           max_events_per_batch: int = 350000,
           on_state_update=None,
           prepare_batch=None,
-          prefetch_depth: int = 2):
+          prefetch_depth: int = 2,
+          sequence_length=None):
     """Run the training loop.
 
     Args:
@@ -97,7 +98,8 @@ def train(train_step,
             raise OverflowError(f'{num_events} events > capacity {capacity}')
         if prepare_batch is not None:
             return prepare_batch(host_batch, capacity)
-        return pad_batch(host_batch, capacity=capacity if is_raw else None)
+        return pad_batch(host_batch, capacity=capacity if is_raw else None,
+                         sequence_length=sequence_length)
 
     if prefetch_depth > 0:
         stream = prefetch_to_device(iter(loader), make_device_batch,
@@ -192,7 +194,7 @@ def train(train_step,
 
 
 def validate(eval_step, params, loader, samples_passed, logger, tags,
-             is_raw=True, event_capacity=2 ** 18):
+             is_raw=True, event_capacity=2 ** 18, sequence_length=None):
     """Validation pass (reference utils/training.py:244-271)."""
     n = 0
     photo_sum, smooth_sum, out_reg_sum = [], [], []
@@ -201,7 +203,8 @@ def validate(eval_step, params, loader, samples_passed, logger, tags,
         if batch_num_events(batch, is_raw) > event_capacity:
             continue
         device_batch = pad_batch(batch, capacity=event_capacity if is_raw
-                                 else None)
+                                 else None,
+                                 sequence_length=sequence_length)
         loss, (smoothness, photometric, out_reg) = eval_step(params,
                                                              device_batch)
         photo_sum = add_loss(photo_sum, photometric)
