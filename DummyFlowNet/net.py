@@ -20,6 +20,15 @@ class Model(nn.Module):
     suffix_length: int = 0
     max_sequence_length: int = 1
 
+    def quantize(self, events, timestamps, sample_idx, imsize):
+        """Trivial dense representation (the plugin contract's optional
+        quantize head; this model ignores events, so it is all zeros)."""
+        num_timestamps = self.max_sequence_length + 1
+        batch_size = timestamps.shape[0] // num_timestamps
+        H, W = imsize
+        return jnp.zeros((batch_size, self.max_sequence_length, H, W),
+                         jnp.float32)
+
     @nn.compact
     def __call__(self,
                  events,

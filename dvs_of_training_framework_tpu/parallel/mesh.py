@@ -50,12 +50,21 @@ def make_mesh(spec: Optional[str] = None, devices=None) -> Mesh:
 
 
 def split_batch_for_mesh(collated: dict, n_shards: int,
-                         capacity_per_shard: int) -> Batch:
+                         capacity_per_shard: int,
+                         event_shards: int = 1) -> Batch:
     """Split a host-collated ragged batch into n equal per-device shards.
 
     Every array gains a leading shard axis; events are re-padded per shard
     (they are sorted by sample, so shard boundaries are just searchsorted
     cuts).  Sample indices are localised to each shard.
+
+    With ``event_shards > 1`` each data shard's flat event list is further
+    cut into ``event_shards`` contiguous pieces — the event buffers gain a
+    second leading axis ``[data, event, capacity]`` while timestamps/images
+    keep one (they are replicated over the event axis).  Voxelization is
+    linear in events, so partial grids psum'd over the event axis equal the
+    full grid (the sequence-parallel analogue for the unbounded event axis,
+    SURVEY.md §7).
 
     Raises:
         OverflowError: when a shard exceeds ``capacity_per_shard`` events.
@@ -94,8 +103,20 @@ def split_batch_for_mesh(collated: dict, n_shards: int,
             'element_index': ev['element_index'][lo:hi],
             'sample_index': sample_index[lo:hi] - s * per_shard,
         }
-        buffers.append(pad_events(shard_events, per_shard,
-                                  capacity_per_shard))
+        if event_shards == 1:
+            buffers.append(pad_events(shard_events, per_shard,
+                                      capacity_per_shard))
+        else:
+            # contiguous cuts of the flat event axis; any partition works
+            # (the grid is a sum over events), contiguous keeps IO simple
+            n_ev = hi - lo
+            ev_cuts = np.linspace(0, n_ev, event_shards + 1).astype(int)
+            buffers.append(jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs),
+                *[pad_events({k: v[ev_cuts[e]:ev_cuts[e + 1]]
+                              for k, v in shard_events.items()},
+                             per_shard, capacity_per_shard)
+                  for e in range(event_shards)]))
         tlo, thi = int(ts_cuts[s]), int(ts_cuts[s + 1])
         ts_shards.append(timestamps[tlo:thi])
         si_shards.append(sample_idx[tlo:thi] - s * per_shard)
@@ -110,19 +131,34 @@ def split_batch_for_mesh(collated: dict, n_shards: int,
                  size=size)
 
 
-def shard_host_batch(batch: Batch, mesh: Mesh, axis: str = 'data') -> Batch:
-    """Place a leading-shard-axis Batch onto the mesh (data axis)."""
-    sharding = NamedSharding(mesh, P(axis))
+def shard_host_batch(batch: Batch, mesh: Mesh, axis: str = 'data',
+                     event_axis: Optional[str] = None) -> Batch:
+    """Place a leading-shard-axis Batch onto the mesh.
 
-    def put(x):
-        return jax.device_put(x, sharding)
+    Event buffers are sharded over ``(axis, event_axis)`` when an event axis
+    is given (their arrays carry two leading shard axes); everything else is
+    sharded over ``axis`` and replicated along the event axis.
+    """
+    data_sharding = NamedSharding(mesh, P(axis))
+    event_sharding = NamedSharding(mesh, P(axis, event_axis)) \
+        if event_axis else data_sharding
 
-    return jax.tree_util.tree_map(put, batch)
+    events = batch.events
+    if events is not None:
+        events = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, event_sharding), events)
+    rest = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding),
+        Batch(events=None, data=batch.data, timestamps=batch.timestamps,
+              sample_idx=batch.sample_idx, images=batch.images,
+              size=batch.size))
+    return rest.replace(events=events)
 
 
 def make_sharded_train_step(model, evaluator, tx, weights,
                             accumulation_steps: int, mesh: Mesh,
-                            is_raw: bool = True, axis: str = 'data'):
+                            is_raw: bool = True, axis: str = 'data',
+                            event_axis: Optional[str] = None):
     """Jitted SPMD training step over the mesh's data axis.
 
     The per-device program is the single-device loss/grad computation on the
@@ -131,9 +167,25 @@ def make_sharded_train_step(model, evaluator, tx, weights,
 
     Expects batches produced by ``split_batch_for_mesh`` +
     ``shard_host_batch`` (leading shard axis on every array).
+
+    With ``event_axis`` (raw events only) the flat event buffer is
+    additionally sharded over a second mesh axis: each device voxelizes its
+    slice of the events, the partial grids are psum'd over the event axis
+    (voxelization is linear in events), and the predictor runs on the full
+    grid.  Predictor gradients are computed against the replicated grid and
+    are identical along the event axis; quantization gradients are partial
+    per event shard, so they — and only they — are psum'd over the event
+    axis.  The two contributions are separated with nested VJPs, no
+    parameter-name assumptions.
     """
     loss_fn = make_loss_fn(model, evaluator, weights, is_raw)
     n_shards = mesh.shape[axis]
+    if event_axis is not None:
+        assert is_raw, 'event-axis sharding requires raw events'
+        assert event_axis in mesh.shape, \
+            f'mesh has no axis {event_axis!r}'
+
+    from ..losses.loss import combined_loss
 
     def per_device_grads(params, batch):
         # strip the per-device leading axis of size 1
@@ -146,15 +198,65 @@ def make_sharded_train_step(model, evaluator, tx, weights,
                                        terms)
         return grads, loss, terms
 
+    def per_device_grads_event(params, batch_events, batch_timestamps,
+                               batch_sample_idx, batch_images):
+        # events carry (data, event) lead axes; the rest only data
+        events = jax.tree_util.tree_map(lambda x: x[0, 0], batch_events)
+        timestamps = batch_timestamps[0]
+        sample_idx = batch_sample_idx[0]
+        images = batch_images[0]
+        imsize = tuple(images.shape[-2:])
+
+        def quantize(p):
+            return model.apply({'params': p}, events, timestamps,
+                               sample_idx, imsize, method='quantize')
+
+        grid_local, vjp_q = jax.vjp(quantize, params)
+        grid = jax.lax.psum(grid_local, event_axis)
+
+        def predict(p, g):
+            out = model.apply({'params': p}, g, timestamps, sample_idx,
+                              imsize, raw=False, intermediate=True)
+            flows, flow_ts, flow_sample_idx = out[:3]
+            return combined_loss(evaluator, flows, flow_ts,
+                                 flow_sample_idx, images, timestamps,
+                                 sample_idx, weights=tuple(weights))
+
+        loss, vjp_f, terms = jax.vjp(predict, params, grid, has_aux=True)
+        grads_f, c_grid = vjp_f(jnp.ones_like(loss))
+        (grads_q,) = vjp_q(c_grid)
+        grads_q = jax.lax.psum(grads_q, event_axis)
+        grads = jax.tree_util.tree_map(lambda a, b: a + b,
+                                       grads_f, grads_q)
+
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        terms = jax.tree_util.tree_map(lambda t: jax.lax.pmean(t, axis),
+                                       terms)
+        return grads, loss, terms
+
     from jax.sharding import PartitionSpec
     shard_specs = PartitionSpec(axis)
     replicated = PartitionSpec()
+    if event_axis is not None:
+        # batch fields passed separately: Batch's static `size` field would
+        # otherwise make a Batch-shaped spec tree mismatch per batch size
+        sharded_impl = jax.shard_map(
+            per_device_grads_event, mesh=mesh,
+            in_specs=(replicated, PartitionSpec(axis, event_axis),
+                      shard_specs, shard_specs, shard_specs),
+            out_specs=(replicated, replicated, replicated),
+            check_vma=False)
 
-    sharded_grads = jax.shard_map(
-        per_device_grads, mesh=mesh,
-        in_specs=(replicated, shard_specs),
-        out_specs=(replicated, replicated, replicated),
-        check_vma=False)
+        def sharded_grads(params, batch):
+            return sharded_impl(params, batch.events, batch.timestamps,
+                                batch.sample_idx, batch.images)
+    else:
+        sharded_grads = jax.shard_map(
+            per_device_grads, mesh=mesh,
+            in_specs=(replicated, shard_specs),
+            out_specs=(replicated, replicated, replicated),
+            check_vma=False)
 
     def apply_branch(state, acc):
         updates, new_opt_state = tx.update(acc, state.opt_state,

@@ -87,6 +87,27 @@ def test_train_cli_mesh(tmp_path, mvsec_layout):
     assert 2 in ser.list_known_steps()
 
 
+def test_train_cli_mesh_event_axis(tmp_path, mvsec_layout):
+    """CLI training over a 2-D data x event mesh (event-axis sharding)."""
+    model_dir = run_cli(tmp_path, mvsec_layout,
+                        extra=['--mesh', 'data:2,event:2'])
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    ser = Serializer(model_dir)
+    assert 2 in ser.list_known_steps()
+
+
+def test_train_cli_dynamic_sample_length(tmp_path, mvsec_layout):
+    """--dynamic-sample-length trains end-to-end (uniform-slot layout
+    through train(), validate() and the hooks)."""
+    model_dir = run_cli(tmp_path, mvsec_layout,
+                        extra=['--dynamic-sample-length',
+                               '--min-sequence-length', '1',
+                               '--max-sequence-length', '3'])
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    ser = Serializer(model_dir)
+    assert 2 in ser.list_known_steps()
+
+
 def test_train_cli_guards_argument_change(tmp_path, mvsec_layout):
     run_cli(tmp_path, mvsec_layout)
     with pytest.raises(AssertionError, match='argument'):

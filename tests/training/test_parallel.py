@@ -101,6 +101,50 @@ def test_sharded_step_matches_single_device():
                                    rtol=2e-3, atol=2e-5)
 
 
+def test_event_split_conserves_events():
+    n, e = 2, 4
+    model, params, tx, evaluator, batch, probe = make_setup(n)
+    sharded = split_batch_for_mesh(batch, n, capacity_per_shard=1024,
+                                   event_shards=e)
+    assert sharded.events.x.shape == (n, e, 1024)
+    assert sharded.timestamps.shape == (n, 2)
+    total = sum(int(sharded.events.num_events[d, s])
+                for d in range(n) for s in range(e))
+    assert total == batch['events']['x'].size
+
+
+def test_event_sharded_step_matches_single_device():
+    """data x event mesh: psum'd partial voxel grids + split-VJP gradients
+    must reproduce the single-device step (SURVEY.md §7 scale-out item)."""
+    d, e = 2, 2
+    model, params, tx, evaluator, batch, probe = make_setup(d)
+    mesh = make_mesh(f'data:{d},event:{e}')
+
+    step_ref = make_train_step(model, evaluator, tx, [0.5, 1, 1],
+                               accumulation_steps=1, is_raw=True)
+    state_ref = create_train_state(
+        jax.tree_util.tree_map(jnp.array, params), tx)
+    state_ref, (loss_ref, _) = step_ref(state_ref, probe)
+
+    step_ev, n_shards = make_sharded_train_step(
+        model, evaluator, tx, [0.5, 1, 1], accumulation_steps=1, mesh=mesh,
+        event_axis='event')
+    assert n_shards == d
+    device_batch = shard_host_batch(
+        split_batch_for_mesh(batch, d, capacity_per_shard=4096,
+                             event_shards=e),
+        mesh, event_axis='event')
+    state_ev = create_train_state(
+        jax.tree_util.tree_map(jnp.array, params), tx)
+    state_ev, (loss_ev, _) = step_ev(state_ev, device_batch)
+
+    np.testing.assert_allclose(float(loss_ev), float(loss_ref), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state_ev.params),
+                    jax.tree_util.tree_leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+
+
 def test_sharded_step_runs_on_8_devices():
     n = len(jax.devices())
     if n < 2:

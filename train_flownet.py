@@ -43,6 +43,16 @@ def parse_args(args, is_write=True):
     return args
 
 
+def pad_sequence_length(args):
+    """Per-sample slot size for dynamic sample lengths (None = static).
+
+    ``max_sequence_length`` counts the TOTAL elements per sample (prefix and
+    suffix context included) — the model's ``max_sequence_length`` kwarg uses
+    the same convention (see tests/training/test_sequences.py).
+    """
+    return args.max_sequence_length if args.dynamic_sample_length else None
+
+
 def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
                  event_image_fn=None):
     """Periodic hooks: serialization every checkpointing_interval,
@@ -64,7 +74,8 @@ def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
         hooks['validation'] = ValidationHook(
             eval_step, lambda: state_holder['state'].params,
             loader_factory, logger, tags, is_raw=True,
-            event_capacity=args.event_capacity)
+            event_capacity=args.event_capacity,
+            sequence_length=pad_sequence_length(args))
         periods['validation'] = args.vp
     periodic_hooks = {k: make_hook_periodic(hooks[k], periods[k])
                       for k in periods}
@@ -111,7 +122,7 @@ def main(argv=None):
         args.shape, args.bs,
         lambda p, e, t, s, i: model.apply({'params': p}, e, t, s, i),
         params,
-        sequence_length=args.prefix_length + args.suffix_length + 1)
+        sequence_length=args.max_sequence_length)
     tags = shapes2tags(evaluator.shapes)
 
     logger = SummaryWriter(str(args.log_path))
@@ -123,17 +134,20 @@ def main(argv=None):
             split_batch_for_mesh)
         assert args.is_raw, 'mesh training currently expects raw events'
         mesh = make_mesh(args.mesh)
+        event_axis = 'event' if 'event' in mesh.shape else None
+        event_shards = mesh.shape.get('event', 1)
         train_step, n_shards = make_sharded_train_step(
             model, evaluator, tx, args.loss_weights, args.accum_step,
-            mesh, is_raw=True)
+            mesh, is_raw=True, event_axis=event_axis)
         assert args.mbs % n_shards == 0, \
             f'micro batch {args.mbs} not divisible by {n_shards} devices'
 
         def prepare_batch(collated, capacity):
             sharded = split_batch_for_mesh(
                 collated, n_shards,
-                capacity_per_shard=max(capacity // n_shards, 4096))
-            return shard_host_batch(sharded, mesh)
+                capacity_per_shard=max(capacity // n_shards, 4096),
+                event_shards=event_shards)
+            return shard_host_batch(sharded, mesh, event_axis=event_axis)
     else:
         train_step = make_train_step(model, evaluator, tx,
                                      args.loss_weights,
@@ -209,7 +223,8 @@ def main(argv=None):
             init_samples_passed=samples_passed,
             max_events_per_batch=args.max_events_per_batch,
             on_state_update=on_state_update,
-            prepare_batch=prepare_batch)
+            prepare_batch=prepare_batch,
+            sequence_length=pad_sequence_length(args))
 
     state_holder['state'] = state
     samples = samples_passed
