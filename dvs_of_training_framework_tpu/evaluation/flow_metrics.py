@@ -24,6 +24,11 @@ def flow_error_dense(flow_gt, flow_pred, event_img, is_car=False,
     Returns:
         (AEE, fraction of masked pixels with EE < 3 px, n_points)
     """
+    # Bug-for-bug parity with the public EV-FlowNet benchmark code the
+    # reference vendored (utils/eval.py:16): the row bound is taken from
+    # shape[1] (the WIDTH, 346) rather than the height (260), so without
+    # is_car no row is actually cropped.  Kept intentionally — changing it
+    # would make AEE numbers incomparable with the reference harness.
     max_row = flow_gt.shape[1]
     if is_car:
         max_row = 190

@@ -8,6 +8,7 @@ running-statistics accumulator, and the config expansion is keyed off a
 normaliser table instead of positional unpacking.
 """
 import itertools
+from concurrent.futures import ThreadPoolExecutor
 from types import SimpleNamespace
 
 import numpy as np
@@ -37,20 +38,11 @@ class _RunningMeans:
         return self.totals[name] / self.count
 
 
-def _window_metrics(of, window_events, start, stop, gt, pred_postproc_fun,
-                    gt_proc_fun, is_car):
-    """Predict flow for one frame window and score it against GT.
-
-    Returns (AEE, %AEE, n_points, flow) for the window.
-    """
-    flow = pred_postproc_fun(of([window_events], [start], [stop])[0])
-    gt_u, gt_v = estimate_corresponding_gt_flow(
-        gt['x_flow_dist'], gt['y_flow_dist'], gt['timestamps'], start, stop)
-    gt_flow = gt_proc_fun(np.dstack((gt_u, gt_v)))
+def _score_window(flow, gt_uv, window_events, gt_proc_fun, is_car):
+    """Score one window's predicted flow against its propagated GT."""
+    gt_flow = gt_proc_fun(np.dstack(gt_uv))
     count_image = get_count_image(window_events, gt_flow.shape[:2])
-    aee, percent_aee, n_points = flow_error_dense(gt_flow, flow,
-                                                  count_image, is_car)
-    return aee, percent_aee, n_points, flow
+    return flow_error_dense(gt_flow, flow, count_image, is_car)
 
 
 def evaluate(of,
@@ -61,7 +53,8 @@ def evaluate(of,
              pred_postproc_fun=None,
              gt_proc_fun=None,
              is_car=False,
-             log=False):
+             log=False,
+             gt_flow_fn=None):
     """Evaluate flow quality over a sequence.
 
     Args:
@@ -71,30 +64,48 @@ def evaluate(of,
         gt: dict with 'timestamps', 'x_flow_dist', 'y_flow_dist'.
         event_preproc_fun / pred_postproc_fun / gt_proc_fun: optional crops.
         is_car: car-hood crop for outdoor sequences.
+        gt_flow_fn: optional ``(start, stop) -> (gt_u, gt_v)`` override for
+            the GT propagation (e.g. a memoising or pooled propagator).
 
     Returns:
         (mean AEE, mean %AEE)
+
+    The GT propagation for each window runs on a background thread WHILE
+    the device computes the window's flow: propagation is GIL-bound NumPy
+    and inference releases the GIL while blocked on the device, so the two
+    overlap even on a single host core (measured in
+    scripts/benchmarks/profile_eval_pool.py — more threads do NOT scale
+    propagation, overlap is what helps).
     """
     event_preproc_fun = event_preproc_fun or _identity
     pred_postproc_fun = pred_postproc_fun or _identity
     gt_proc_fun = gt_proc_fun or _identity
+    if gt_flow_fn is None:
+        def gt_flow_fn(start, stop):
+            return estimate_corresponding_gt_flow(
+                gt['x_flow_dist'], gt['y_flow_dist'], gt['timestamps'],
+                start, stop)
 
     stats = _RunningMeans('aee', 'percent_aee', 'max_flow', 'min_flow')
-    for window_events, start, stop in frame_generator(events, frames):
-        window_events = event_preproc_fun(np.array(window_events).T).T
-        aee, percent_aee, n_points, flow = _window_metrics(
-            of, window_events, start, stop, gt,
-            pred_postproc_fun, gt_proc_fun, is_car)
-        stats.add(aee=aee, percent_aee=percent_aee,
-                  max_flow=np.max(flow), min_flow=np.min(flow))
+    with ThreadPoolExecutor(1) as gt_pool:
+        for window_events, start, stop in frame_generator(events, frames):
+            window_events = event_preproc_fun(np.array(window_events).T).T
+            gt_future = gt_pool.submit(gt_flow_fn, start, stop)
+            flow = pred_postproc_fun(
+                of([window_events], [start], [stop])[0])
+            aee, percent_aee, n_points = _score_window(
+                flow, gt_future.result(), window_events, gt_proc_fun,
+                is_car)
+            stats.add(aee=aee, percent_aee=percent_aee,
+                      max_flow=np.max(flow), min_flow=np.min(flow))
 
-        if log and stats.count % 100 == 0:
-            print('-------------------------------')
-            print(f'Iter: {stats.count}')
-            print(f"Mean max flow: {stats.mean('max_flow'):.2f}, "
-                  f"mean min flow: {stats.mean('min_flow'):.2f}")
-            print(f"Mean AEE: {stats.mean('aee'):.2f}, mean %AEE: "
-                  f"{stats.mean('percent_aee'):.2f}, #pts: {n_points},")
+            if log and stats.count % 100 == 0:
+                print('-------------------------------')
+                print(f'Iter: {stats.count}')
+                print(f"Mean max flow: {stats.mean('max_flow'):.2f}, "
+                      f"mean min flow: {stats.mean('min_flow'):.2f}")
+                print(f"Mean AEE: {stats.mean('aee'):.2f}, mean %AEE: "
+                      f"{stats.mean('percent_aee'):.2f}, #pts: {n_points},")
 
     result = (stats.mean('aee'), stats.mean('percent_aee'))
     if log:

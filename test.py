@@ -174,20 +174,32 @@ def iterate_test_matrix(config, data_dir, info_dir):
                 yield dataset, cfg
 
 
-def process_single(args):
+def build_test_matrix(args=None):
+    """Materialise the whole test matrix (each sequence loaded ONCE).
+
+    The returned list is read-only shared across checkpoint jobs —
+    per-checkpoint state (resolved time ranges, results) lives on copies.
+    """
     from dvs_of_training_framework_tpu.evaluation import read_config
+    data_dir = (script_dir / '..' / 'data' / 'raw').resolve()
+    info_dir = script_dir / 'data' / 'info'
+    config = read_config(script_dir / 'config' / 'testing.yml')
+    return list(iterate_test_matrix(config, data_dir, info_dir))
+
+
+def process_single(args, matrix=None):
     args = export_weights_only(args)
     if args.output.is_file():  # this checkpoint was already evaluated
         if args.is_temporary_model:
             args.model.unlink()
         return
 
-    data_dir = (script_dir / '..' / 'data' / 'raw').resolve()
-    info_dir = script_dir / 'data' / 'info'
-    config = read_config(script_dir / 'config' / 'testing.yml')
+    if matrix is None:
+        matrix = build_test_matrix(args)
 
     results = []
-    for dataset, cfg in iterate_test_matrix(config, data_dir, info_dir):
+    for dataset, shared_cfg in matrix:
+        cfg = SimpleNamespace(**vars(shared_cfg))  # job-local copy
         cfg.mAEE, cfg.mpAEE = perform_single_test(args, cfg, dataset)
         results.append(cfg)
         print(f'[{cfg.sequence}, {cfg.start}, {cfg.stop}, '
@@ -258,8 +270,11 @@ def process_all(args):
     args.__dict__.pop('step', None)
     per_step = [SimpleNamespace(step=s, **args.__dict__)
                 for s in Serializer(args.model).list_known_steps()]
-    DevicePool(jax.local_devices(),
-               args.tests_per_device)(process_single, per_step)
+    # sequences are loaded once and shared read-only by every checkpoint
+    # job (the reference reloads them per process, test.py:137-181)
+    matrix = build_test_matrix(args)
+    DevicePool(jax.local_devices(), args.tests_per_device)(
+        lambda step_args: process_single(step_args, matrix), per_step)
 
     writer = SummaryWriter(args.output / 'log')
     for step_args in per_step:
