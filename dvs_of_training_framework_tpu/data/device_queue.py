@@ -1,0 +1,132 @@
+"""Device-side input queue: stage windows of K batches in ONE upload.
+
+Measured on the tunnelled v5e (PERFORMANCE.md round 2): a training step on
+freshly-uploaded input buffers pays a large first-use penalty (~90-440 ms
+vs ~32 ms on staged buffers), so uploading per step caps training at a few
+steps/s no matter how fast the step itself is.  Staging a WINDOW of K
+padded batches as one stacked pytree amortises that penalty over K steps;
+the jitted step selects batch ``micro_step % K`` with an on-device dynamic
+slice (training/state.py).  On directly-attached TPUs the same design
+still removes K-1 of every K dispatch/transfer events.
+
+The host->device pipeline (``prefetch_windows``) runs on a background
+thread like data/prefetch.py: while the device executes window w, the host
+collects, stacks, uploads, and materialises window w+1.
+"""
+import queue
+import threading
+
+import jax
+import numpy as np
+
+
+def stack_batches(batches):
+    """Stack K device-ready Batch pytrees into one window pytree.
+
+    Every array leaf gains a leading K axis; the static ``size`` field must
+    agree across the window.
+    """
+    assert len({b.size for b in batches}) == 1, \
+        'window batches must share a static batch size'
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
+def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2):
+    """Yield ``(host_batches, device_window, n_valid)`` tuples.
+
+    Args:
+        batch_iter: iterator of host-collated batch dicts.
+        prepare_fn: ``host_batch -> device-ready Batch`` (may raise
+            OverflowError; the offending batch is reported via the
+            ``skipped`` list on the next yielded window).
+        window: K, batches staged per upload.
+        depth: windows staged ahead.
+
+    Each yielded tuple:
+        host_batches: the K (or fewer, for the final window) collated host
+            batches, in step order.
+        device_window: stacked Batch on device (leading K axis; a partial
+            final window is repeat-padded to K for shape stability — only
+            the first ``n_valid`` slices are stepped).
+        skipped: host batches dropped by OverflowError since the previous
+            window (the caller logs/accounts them).
+    """
+    q = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    sentinel = object()
+
+    def offer(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            pending = []
+            skipped = []
+
+            def flush():
+                if not pending:
+                    return True
+                hosts, prepared = zip(*pending)
+                n_valid = len(prepared)
+                padded = list(prepared) + [prepared[-1]] * \
+                    (window - n_valid)
+                device_window = jax.device_put(stack_batches(padded))
+                # materialise on this thread so the consumer never blocks
+                # on (or interleaves with) an in-flight transfer
+                jax.block_until_ready(device_window)
+                ok = offer((list(hosts), device_window, n_valid,
+                            list(skipped)))
+                pending.clear()
+                skipped.clear()
+                return ok
+
+            for host_batch in batch_iter:
+                if stop.is_set():
+                    break
+                try:
+                    pending.append((host_batch, prepare_fn(host_batch)))
+                except OverflowError:
+                    skipped.append(host_batch)
+                    continue
+                if len(pending) == window:
+                    if not flush():
+                        break
+            else:
+                if flush():
+                    offer(sentinel)
+        except Exception as exc:   # surfaced on the consumer side
+            offer(exc)
+        except BaseException:      # interpreter teardown: die quietly
+            return
+        finally:
+            close = getattr(batch_iter, 'close', None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join(timeout=10)

@@ -58,13 +58,22 @@ def make_loss_fn(model, evaluator, weights, is_raw: bool) -> Callable:
 
 
 def make_train_step(model, evaluator, tx, weights,
-                    accumulation_steps: int, is_raw: bool = True):
+                    accumulation_steps: int, is_raw: bool = True,
+                    window: int = 0):
     """Build the jitted training step.
 
     Returns ``step_fn(state, batch) -> (state, (loss, terms))`` where loss
     is already divided by ``accumulation_steps`` (reference
     utils/training.py:156) and terms are the per-scale values of this
     microbatch.
+
+    With ``window = K > 0`` the step consumes a device-staged WINDOW of K
+    batches (every leaf carries a leading K axis, see
+    data/device_queue.py) and selects batch ``micro_step % K`` with an
+    on-device dynamic slice.  One bulk upload then feeds K steps — the
+    host touches the device once per window instead of once per step
+    (fresh per-step input buffers cost a large first-use penalty on
+    tunnelled TPU runtimes, and a dispatch per transfer everywhere).
     """
     loss_fn = make_loss_fn(model, evaluator, weights, is_raw)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -83,6 +92,24 @@ def make_train_step(model, evaluator, tx, weights,
         return state.replace(grad_acc=acc)
 
     def step_fn(state, batch):
+        if window:
+            idx = state.micro_step % window
+            events = batch.events
+            if events is not None:
+                events = jax.tree_util.tree_map(
+                    lambda x: jax.lax.dynamic_index_in_dim(
+                        x, idx, 0, keepdims=False), events)
+            batch = batch.replace(
+                events=events,
+                data=None if batch.data is None else
+                jax.lax.dynamic_index_in_dim(batch.data, idx, 0,
+                                             keepdims=False),
+                timestamps=jax.lax.dynamic_index_in_dim(
+                    batch.timestamps, idx, 0, keepdims=False),
+                sample_idx=jax.lax.dynamic_index_in_dim(
+                    batch.sample_idx, idx, 0, keepdims=False),
+                images=jax.lax.dynamic_index_in_dim(
+                    batch.images, idx, 0, keepdims=False))
         (loss, terms), grads = grad_fn(state.params, batch)
         inv = 1.0 / accumulation_steps
         if accumulation_steps == 1:

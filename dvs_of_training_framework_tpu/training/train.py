@@ -11,8 +11,12 @@ from ..utils.timer import FakeTimer
 
 
 def make_hook_periodic(hook, interval):
-    return lambda step, *args: (None if step % interval
-                                else hook(step, *args))
+    wrapper = lambda step, *args: (None if step % interval  # noqa: E731
+                                   else hook(step, *args))
+    # exposed so the train loop can flush deferred metrics before a hook
+    # actually fires (TB history must stay aligned with checkpoints)
+    wrapper.interval = interval
+    return wrapper
 
 
 def shapes2tags(shapes):
@@ -50,7 +54,9 @@ def train(train_step,
           on_state_update=None,
           prepare_batch=None,
           prefetch_depth: int = 2,
-          sequence_length=None):
+          sequence_length=None,
+          metric_flush_steps: int = 16,
+          window: int = 0):
     """Run the training loop.
 
     Args:
@@ -73,6 +79,11 @@ def train(train_step,
             background thread so H2D transfer overlaps device compute
             (0 = synchronous; TPU analogue of the reference's pinned-memory
             worker prefetch, utils/dataloader.py:39,103-108).
+        window: device-queue window K (0 = off): K batches are staged per
+            upload and the jitted step slices on device (train_step must
+            be built with the same ``window`` — see state.make_train_step
+            and data/device_queue.py).  Requires micro_step to start
+            window-aligned, which holds for fresh/resumed states.
 
     Returns:
         (state, samples_passed)
@@ -84,9 +95,8 @@ def train(train_step,
         from ..utils.timer import ThroughputTimer
         throughput = ThroughputTimer(batch_size=None)
     samples_passed = init_samples_passed
-    loss_sum = 0.0
-    smooth_sum, photo_sum, out_reg_sum = [], [], []
-    pending = []  # device-side (loss, terms) awaiting boundary readback
+    pending_micro = []       # device (loss, terms) since the last boundary
+    pending_boundaries = []  # (step, samples_passed, [micro records])
     init_batch = init_step * accumulation_steps
     global_step = init_batch
     num_skipped = 0
@@ -100,6 +110,125 @@ def train(train_step,
             return prepare_batch(host_batch, capacity)
         return pad_batch(host_batch, capacity=capacity if is_raw else None,
                          sequence_length=sequence_length)
+
+    def flush_metrics():
+        """Materialise ALL deferred metrics in ONE device transfer.
+
+        Per-scalar ``float()`` readback costs a full RPC roundtrip each
+        (~30 ms through a tunnelled TPU — measured to dominate the 28 ms
+        step); one batched device_get per ``metric_flush_steps``
+        boundaries amortises it away.  Values and TB keys are identical,
+        only the fetch is batched.
+        """
+        nonlocal pending_boundaries
+        if not pending_boundaries:
+            return
+        import jax
+        fetched = jax.device_get(pending_boundaries)
+        pending_boundaries = []
+        for b_step, b_samples, micro in fetched:
+            loss_sum = 0.0
+            smooth_sum, photo_sum, out_reg_sum = [], [], []
+            for p_loss, p_terms in micro:
+                smoothness, photometric, out_reg = p_terms
+                photo_sum = add_loss(photo_sum, photometric)
+                smooth_sum = add_loss(smooth_sum, smoothness)
+                out_reg_sum = add_loss(out_reg_sum, out_reg)
+                loss_sum += float(p_loss)
+            for tag, s, p, o in zip(tags, smooth_sum, photo_sum,
+                                    out_reg_sum):
+                logger.add_scalar(f'Train/photometric loss/{tag}',
+                                  p / accumulation_steps, b_samples)
+                logger.add_scalar(f'Train/smoothness loss/{tag}',
+                                  s / accumulation_steps, b_samples)
+                logger.add_scalar(f'Train/out regularization/{tag}',
+                                  o / accumulation_steps, b_samples)
+            logger.add_scalar('General/Train loss', loss_sum, b_samples)
+            if lr_fn is not None:
+                for i, lr in enumerate(lr_fn(b_step)):
+                    logger.add_scalar(f'General/learning rate/{i}', lr,
+                                      b_samples)
+
+    def report_skip(host_batch):
+        nonlocal num_skipped
+        num_skipped += 1
+        num_events = batch_num_events(host_batch, is_raw)
+        num_processed = global_step - init_batch
+        print(f'Skipping batch with {num_events} events')
+        if num_events > capacity:
+            print('Augmentation parameters '
+                  f'{host_batch["augmentation_params"]}')
+        rate = num_processed / max(num_processed + num_skipped, 1)
+        print(f'Processing rate is {rate:.2f}')
+
+    def run_step(host_batch, device_batch):
+        """Per-(micro)batch body: step, metric bookkeeping, hooks."""
+        nonlocal state, global_step, samples_passed, pending_micro
+        global_step += 1
+        samples_passed += host_batch['size']
+        if throughput is not None:
+            throughput.batch_size = host_batch['size']
+            throughput.start()
+        timers('train_step').start()
+        state, (loss, terms) = train_step(state, device_batch)
+        timers('train_step').stop()
+        if throughput is not None:
+            throughput.stop()
+
+        is_step_boundary = global_step % accumulation_steps == 0
+
+        timers('logging').start()
+        # keep device scalars; metrics are fetched in batches of
+        # metric_flush_steps boundaries (one RPC), never per scalar
+        pending_micro.append((loss, terms))
+        if is_step_boundary:
+            step = global_step // accumulation_steps
+            pending_boundaries.append((step, samples_passed,
+                                       pending_micro))
+            pending_micro = []
+            hook_fires = any(step % getattr(h, 'interval', 1) == 0
+                             for h in hooks.values())
+            if hook_fires or len(pending_boundaries) >= metric_flush_steps:
+                flush_metrics()
+        timers('logging').stop()
+
+        if is_step_boundary:
+            step = global_step // accumulation_steps
+            if on_state_update is not None:
+                on_state_update(state)
+            for k, hook in hooks.items():
+                timers(k).start()
+                hook(step, samples_passed)
+                timers(k).stop()
+
+        timers.log(names=['batch_construction',
+                          'train_step',
+                          'logging'] + list(hooks))
+
+    if window > 0:
+        assert prepare_batch is None, \
+            'the device queue and the mesh prepare_batch are exclusive'
+        from ..data.device_queue import prefetch_windows
+        stream = prefetch_windows(iter(loader), make_device_batch,
+                                  window=window, depth=prefetch_depth)
+        timers('batch_construction').start()
+        done = False
+        for host_batches, device_window, n_valid, skipped in stream:
+            timers('batch_construction').stop()
+            for host_batch in skipped:
+                report_skip(host_batch)
+            for i in range(n_valid):
+                if global_step == num_steps * accumulation_steps:
+                    done = True
+                    break
+                run_step(host_batches[i], device_window)
+            if done:
+                break
+            timers('batch_construction').start()
+        else:
+            timers('batch_construction').stop()
+        flush_metrics()
+        return state, samples_passed
 
     if prefetch_depth > 0:
         stream = prefetch_to_device(iter(loader), make_device_batch,
@@ -120,76 +249,13 @@ def train(train_step,
         if device_batch is None:
             # oversized batch (reference circuit breaker,
             # utils/training.py:141-150) or per-shard imbalance overflow
-            num_skipped += 1
-            num_events = batch_num_events(batch, is_raw)
-            num_processed = global_step - init_batch
-            print(f'Skipping batch with {num_events} events')
-            if num_events > capacity:
-                print('Augmentation parameters '
-                      f'{batch["augmentation_params"]}')
-            rate = num_processed / max(num_processed + num_skipped, 1)
-            print(f'Processing rate is {rate:.2f}')
+            report_skip(batch)
             continue
-        global_step += 1
         timers('batch_construction').stop()
-        samples_passed += batch['size']
-        if throughput is not None:
-            throughput.batch_size = batch['size']
-            throughput.start()
-        timers('train_step').start()
-        state, (loss, terms) = train_step(state, device_batch)
-        timers('train_step').stop()
-        if throughput is not None:
-            throughput.stop()
-
-        is_step_boundary = global_step % accumulation_steps == 0
-
-        timers('logging').start()
-        # keep device scalars; only materialise at the step boundary so the
-        # dispatch pipeline never blocks on metric readback
-        pending.append((loss, terms))
-
-        if is_step_boundary:
-            for p_loss, p_terms in pending:
-                smoothness, photometric, out_reg = p_terms
-                photo_sum = add_loss(photo_sum, photometric)
-                smooth_sum = add_loss(smooth_sum, smoothness)
-                out_reg_sum = add_loss(out_reg_sum, out_reg)
-                loss_sum += float(p_loss)
-            pending = []
-            for tag, s, p, o in zip(tags, smooth_sum, photo_sum,
-                                    out_reg_sum):
-                logger.add_scalar(f'Train/photometric loss/{tag}',
-                                  p / accumulation_steps, samples_passed)
-                logger.add_scalar(f'Train/smoothness loss/{tag}',
-                                  s / accumulation_steps, samples_passed)
-                logger.add_scalar(f'Train/out regularization/{tag}',
-                                  o / accumulation_steps, samples_passed)
-            logger.add_scalar('General/Train loss', loss_sum,
-                              samples_passed)
-            step = global_step // accumulation_steps
-            if lr_fn is not None:
-                for i, lr in enumerate(lr_fn(step)):
-                    logger.add_scalar(f'General/learning rate/{i}', lr,
-                                      samples_passed)
-            loss_sum = 0.0
-            smooth_sum, photo_sum, out_reg_sum = [], [], []
-        timers('logging').stop()
-
-        if is_step_boundary:
-            step = global_step // accumulation_steps
-            if on_state_update is not None:
-                on_state_update(state)
-            for k, hook in hooks.items():
-                timers(k).start()
-                hook(step, samples_passed)
-                timers(k).stop()
-
-        timers.log(names=['batch_construction',
-                          'train_step',
-                          'logging'] + list(hooks))
+        run_step(batch, device_batch)
         timers('batch_construction').start()
     timers('batch_construction').stop()
+    flush_metrics()
     return state, samples_passed
 
 

@@ -79,15 +79,20 @@ def process_sequence(raw_file, out_dir, t0, start_offset, stop_offset):
 
 def main():
     repo_dir = Path(__file__).resolve().parent.parent
-    if is_inside_docker():
+    override = os.environ.get('DVS_DATA_ROOT')
+    if override:
+        data_dir = Path(override)
+        info_dir = data_dir / 'info'
+    elif is_inside_docker():
         data_dir = Path('/data')
         info_dir = data_dir / 'info'
     else:
         data_dir = (repo_dir / '..' / 'data').resolve()
         info_dir = repo_dir / 'data' / 'info'
 
-    config = yaml.safe_load(
-        (repo_dir / 'config' / 'training_datasets.yml').read_text())
+    config_path = (Path(sys.argv[1]) if len(sys.argv) > 1
+                   else repo_dir / 'config' / 'training_datasets.yml')
+    config = yaml.safe_load(config_path.read_text())
 
     for ds_name, sequences in config.items():
         info = read_info(str(info_dir / f'{ds_name}.hdf5'))

@@ -181,9 +181,16 @@ def build_test_matrix(args=None):
     per-checkpoint state (resolved time ranges, results) lives on copies.
     """
     from dvs_of_training_framework_tpu.evaluation import read_config
-    data_dir = (script_dir / '..' / 'data' / 'raw').resolve()
-    info_dir = script_dir / 'data' / 'info'
-    config = read_config(script_dir / 'config' / 'testing.yml')
+    override = os.environ.get('DVS_DATA_ROOT')
+    if override:
+        data_dir = Path(override) / 'raw'
+        info_dir = Path(override) / 'info'
+    else:
+        data_dir = (script_dir / '..' / 'data' / 'raw').resolve()
+        info_dir = script_dir / 'data' / 'info'
+    config_path = getattr(args, 'test_config', None) \
+        or script_dir / 'config' / 'testing.yml'
+    config = read_config(config_path)
     return list(iterate_test_matrix(config, data_dir, info_dir))
 
 

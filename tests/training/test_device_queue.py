@@ -1,0 +1,93 @@
+"""Device-side input queue: window-staged training == per-batch training.
+
+The queue uploads K batches at once and the jitted step slices batch
+``micro_step % K`` on device (data/device_queue.py,
+state.make_train_step(window=K)) — values must be bit-identical to the
+per-batch path.
+"""
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvs_of_training_framework_tpu.data.collate import collate_wrapper
+from dvs_of_training_framework_tpu.data.dataset import Dataset
+from dvs_of_training_framework_tpu.data.schema import pad_batch
+from dvs_of_training_framework_tpu.losses import MultiScaleLoss
+from dvs_of_training_framework_tpu.models import (filter_kwargs,
+                                                  load_model_class)
+from dvs_of_training_framework_tpu.training.optimizers import \
+    construct_optimizer
+from dvs_of_training_framework_tpu.training.state import (create_train_state,
+                                                          make_train_step)
+from dvs_of_training_framework_tpu.training.train import train
+from tests.helpers import data_path
+from tests.training.test_training import ListLogger, make_args
+
+REPO = Path(__file__).resolve().parents[2]
+SHAPE = (32, 32)
+
+
+def make_setup(n_batches):
+    module = load_model_class(REPO / 'EVFlowNet')
+    kwargs = filter_kwargs(module.Model, dict(
+        event_representation_depth=3, base_channels=4))
+    model = module.Model(**kwargs)
+    dataset = Dataset(path=data_path, shape=list(SHAPE),
+                      augmentation=False, collapse_length=1, is_raw=True,
+                      max_seq_length=1)
+    batches = [collate_wrapper([dataset[i], dataset[i + 1]])
+               for i in range(n_batches)]
+    evaluator = MultiScaleLoss(
+        [tuple(x // 2 ** i for x in SHAPE) for i in range(4)][::-1])
+    probe = pad_batch(batches[0], capacity=4096)
+    params = model.init(jax.random.PRNGKey(0), probe.events,
+                        probe.timestamps, probe.sample_idx,
+                        SHAPE)['params']
+    tx = construct_optimizer(make_args(), params)
+    return model, params, tx, evaluator, batches
+
+
+def run(model, params, tx, evaluator, batches, window, num_steps):
+    step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
+                           accumulation_steps=1, window=window)
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.array, params), tx)
+    logger = ListLogger()
+    state, samples = train(step, state, list(batches), num_steps,
+                           logger=logger, tags=['4x4', '8x8', '16x16',
+                                                '32x32'],
+                           event_capacity=4096, window=window,
+                           metric_flush_steps=2)
+    return state, samples, logger
+
+
+def assert_same(res_a, res_b):
+    state_a, samples_a, log_a = res_a
+    state_b, samples_b, log_b = res_b
+    assert samples_a == samples_b
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert log_a.scalars == log_b.scalars
+
+
+def test_window_matches_per_batch():
+    setup = make_setup(4)
+    assert_same(run(*setup, window=0, num_steps=4),
+                run(*setup, window=2, num_steps=4))
+
+
+def test_partial_final_window():
+    """3 batches with window 2: the final window is repeat-padded but only
+    its valid slice is stepped."""
+    setup = make_setup(3)
+    assert_same(run(*setup, window=0, num_steps=3),
+                run(*setup, window=2, num_steps=3))
+
+
+def test_window_larger_than_stream():
+    setup = make_setup(2)
+    assert_same(run(*setup, window=0, num_steps=2),
+                run(*setup, window=8, num_steps=2))

@@ -151,7 +151,8 @@ def main(argv=None):
     else:
         train_step = make_train_step(model, evaluator, tx,
                                      args.loss_weights,
-                                     args.accum_step, is_raw=args.is_raw)
+                                     args.accum_step, is_raw=args.is_raw,
+                                     window=args.device_queue_window)
     eval_step = make_eval_step(model, evaluator, args.loss_weights,
                                is_raw=True)
 
@@ -224,7 +225,9 @@ def main(argv=None):
             max_events_per_batch=args.max_events_per_batch,
             on_state_update=on_state_update,
             prepare_batch=prepare_batch,
-            sequence_length=pad_sequence_length(args))
+            sequence_length=pad_sequence_length(args),
+            window=(0 if args.mesh is not None
+                    else args.device_queue_window))
 
     state_holder['state'] = state
     samples = samples_passed
