@@ -25,9 +25,16 @@ from ..utils.common import parse_template
 
 
 def _to_pure(tree):
-    """Pytree -> nested dicts/lists of numpy arrays (msgpack-safe)."""
+    """Pytree -> nested dicts/lists of numpy arrays (msgpack-safe).
+
+    One batched ``jax.device_get`` for the whole tree: per-leaf
+    ``np.asarray`` issues a sequential D2H roundtrip per buffer, which
+    costs ~47 s for a 213 MB train state through the tunnelled TPU
+    (measured); the batched fetch is ~1 s.
+    """
     state = serialization.to_state_dict(tree)
     import jax
+    state = jax.device_get(state)
     return jax.tree_util.tree_map(np.asarray, state)
 
 

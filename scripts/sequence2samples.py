@@ -25,8 +25,11 @@ from dvs_of_training_framework_tpu.utils.common import is_inside_docker  # noqa:
 
 def _verify_window(events, window, lo, hi, t_start, t_stop):
     """The window must hold exactly the events inside [t_start, t_stop]."""
-    assert window[0, 2] >= t_start, 'The first event is before the first image'
-    assert window[-1, 2] <= t_stop, 'The last event is after the second image'
+    if window.shape[0]:  # a still scene can produce an eventless window
+        assert window[0, 2] >= t_start, \
+            'The first event is before the first image'
+        assert window[-1, 2] <= t_stop, \
+            'The last event is after the second image'
     assert lo == 0 or events[lo - 1, 2] <= t_start, 'Some events are missed'
     assert hi >= events.shape[0] or events[hi, 2] >= t_stop, \
         'Some events are missed'

@@ -85,6 +85,11 @@ def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
 def main(argv=None):
     args = parse_args(sys.argv[1:] if argv is None else argv)
 
+    # multi-host: must run before the first jax.devices() touch
+    from dvs_of_training_framework_tpu.parallel import \
+        maybe_initialize_distributed
+    maybe_initialize_distributed(args)
+
     import jax
     from dvs_of_training_framework_tpu.data.dataloader import (
         get_dataloader, get_trainset_params)
