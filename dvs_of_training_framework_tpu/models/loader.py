@@ -116,8 +116,15 @@ def init_model(args, rng, sample_inputs=None):
         sample_inputs = (events, timestamps, sample_idx,
                          tuple(getattr(args, 'shape', (256, 256))))
 
-    params = model.init(rng, *sample_inputs)['params']
-    params = unfreeze(params)
+    # one jitted init program: eager init dispatches thousands of small
+    # ops, which costs minutes through a tunnelled TPU (latency-bound),
+    # and its output buffers are fresh uploads (slow to fetch later)
+    import jax
+    imsize = sample_inputs[3]
+    variables = jax.jit(
+        lambda r, e, t, s: model.init(r, e, t, s, imsize))(
+        rng, *sample_inputs[:3])
+    params = unfreeze(variables['params'])
 
     if getattr(args, 'sp', None) is not None:
         from ..training.serializer import read_params_file

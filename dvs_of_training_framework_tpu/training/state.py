@@ -29,12 +29,19 @@ class TrainState:
 
 def create_train_state(params, tx: optax.GradientTransformation,
                        init_step: int = 0) -> TrainState:
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-    return TrainState(params=params,
-                      opt_state=tx.init(params),
-                      grad_acc=zeros,
-                      micro_step=jnp.zeros([], jnp.int32),
-                      step=jnp.asarray(init_step, jnp.int32))
+    # jitted: one program instead of thousands of eager dispatches (the
+    # optimizer init touches every leaf several times — latency-bound and
+    # slow through a tunnelled TPU), and the resulting buffers are
+    # execution outputs, which fetch fast at the first checkpoint
+    @jax.jit
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return TrainState(params=params,
+                          opt_state=tx.init(params),
+                          grad_acc=zeros,
+                          micro_step=jnp.zeros([], jnp.int32),
+                          step=jnp.asarray(init_step, jnp.int32))
+    return init(params)
 
 
 def make_loss_fn(model, evaluator, weights, is_raw: bool) -> Callable:
