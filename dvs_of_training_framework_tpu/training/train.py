@@ -265,19 +265,23 @@ def validate(eval_step, params, loader, samples_passed, logger, tags,
     n = 0
     photo_sum, smooth_sum, out_reg_sum = [], [], []
     loss_sum = 0.0
+    pending = []  # device scalars; ONE batched fetch at the end
     for batch in loader:
         if batch_num_events(batch, is_raw) > event_capacity:
             continue
         device_batch = pad_batch(batch, capacity=event_capacity if is_raw
                                  else None,
                                  sequence_length=sequence_length)
-        loss, (smoothness, photometric, out_reg) = eval_step(params,
-                                                             device_batch)
-        photo_sum = add_loss(photo_sum, photometric)
-        smooth_sum = add_loss(smooth_sum, smoothness)
-        out_reg_sum = add_loss(out_reg_sum, out_reg)
-        loss_sum += float(loss)
+        pending.append(eval_step(params, device_batch))
         n += 1
+    if pending:
+        import jax
+        for loss, (smoothness, photometric, out_reg) in \
+                jax.device_get(pending):
+            photo_sum = add_loss(photo_sum, photometric)
+            smooth_sum = add_loss(smooth_sum, smoothness)
+            out_reg_sum = add_loss(out_reg_sum, out_reg)
+            loss_sum += float(loss)
     n = max(n, 1)
     logger.add_scalar('General/Validation loss', loss_sum / n,
                       samples_passed)
