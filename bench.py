@@ -151,10 +151,12 @@ def measure_tpu():
     # (host pad + upload + step, exactly like train_flownet's loop)
     from dvs_of_training_framework_tpu.data.device_queue import \
         prefetch_windows
+    from dvs_of_training_framework_tpu.training.state import \
+        make_fused_window_step
     window = int(os.environ.get('BENCH_WINDOW', 8))
-    q_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
-                             accumulation_steps=1, is_raw=True,
-                             window=window)
+    fused_step = make_fused_window_step(model, evaluator, tx, [0.5, 1, 1],
+                                        accumulation_steps=1,
+                                        window=window, is_raw=True)
     host_batches = [make_batch(rng, sample_offset=i * BATCH_SIZE)
                     for i in range(ITERS + window)]
     state_q = create_train_state(
@@ -163,16 +165,16 @@ def measure_tpu():
     t0 = None
     for hosts, dev_window, n_valid, _sk in prefetch_windows(
             iter(host_batches), lambda b: b, window=window, depth=2):
-        for _ in range(n_valid):
-            state_q, (loss_q, _) = q_step(state_q, dev_window)
-            n_run += 1
-            if n_run == window:        # first window = warmup + compile
-                jax.block_until_ready(state_q.params)
-                t0 = time.perf_counter()
+        state_q, (loss_q, _) = fused_step(state_q, dev_window)
+        n_run += n_valid
+        if t0 is None:                 # first window = warmup + compile
+            jax.block_until_ready(state_q.params)
+            n_warm = n_run
+            t0 = time.perf_counter()
         if n_run >= ITERS + window:
             break
     jax.block_until_ready(state_q.params)
-    loop_dt = (time.perf_counter() - t0) / (n_run - window)
+    loop_dt = (time.perf_counter() - t0) / (n_run - n_warm)
 
     return {'batches_per_sec': 1.0 / dt,
             'samples_per_sec': BATCH_SIZE / dt,

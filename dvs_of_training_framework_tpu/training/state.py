@@ -140,6 +140,62 @@ def make_train_step(model, evaluator, tx, weights,
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
+def make_fused_window_step(model, evaluator, tx, weights,
+                           accumulation_steps: int, window: int,
+                           is_raw: bool = True):
+    """K train steps in ONE dispatch: ``lax.scan`` over a staged window.
+
+    The per-step program is dispatch-bound on tunnelled/remote TPUs (and
+    pays per-launch overhead everywhere); scanning the whole K-batch
+    window through the step body amortises every per-launch cost over K
+    steps.  Semantically identical to K calls of the single step — the
+    scan's xs slicing replaces the on-device dynamic index.
+
+    Returns ``fused(state, window_batch) -> (state, (loss[K], terms[K]))``
+    where every leaf of the outputs carries a leading K axis (per-step
+    values, already divided by ``accumulation_steps``).
+    """
+    loss_fn = make_loss_fn(model, evaluator, weights, is_raw)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def apply_branch(state, acc):
+        updates, new_opt_state = tx.update(acc, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, acc)
+        return state.replace(params=new_params,
+                             opt_state=new_opt_state,
+                             grad_acc=zeros,
+                             step=state.step + 1)
+
+    def hold_branch(state, acc):
+        return state.replace(grad_acc=acc)
+
+    def body(state, batch):
+        (loss, terms), grads = grad_fn(state.params, batch)
+        inv = 1.0 / accumulation_steps
+        if accumulation_steps == 1:
+            updates, new_opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(params=new_params,
+                                      opt_state=new_opt_state,
+                                      step=state.step + 1)
+        else:
+            acc = jax.tree_util.tree_map(
+                lambda a, g: a + g * inv, state.grad_acc, grads)
+            is_boundary = (state.micro_step + 1) % accumulation_steps == 0
+            new_state = jax.lax.cond(is_boundary, apply_branch,
+                                     hold_branch, state, acc)
+        new_state = new_state.replace(micro_step=state.micro_step + 1)
+        return new_state, (loss * inv, terms)
+
+    def fused(state, window_batch):
+        return jax.lax.scan(body, state, window_batch, length=window)
+
+    return jax.jit(fused, donate_argnums=(0,))
+
+
 def make_eval_step(model, evaluator, weights, is_raw: bool = True):
     """Jitted validation step: (params, batch) -> (loss, terms)."""
     loss_fn = make_loss_fn(model, evaluator, weights, is_raw)

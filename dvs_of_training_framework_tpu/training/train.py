@@ -56,7 +56,8 @@ def train(train_step,
           prefetch_depth: int = 2,
           sequence_length=None,
           metric_flush_steps: int = 16,
-          window: int = 0):
+          window: int = 0,
+          train_step_fused=None):
     """Run the training loop.
 
     Args:
@@ -96,7 +97,8 @@ def train(train_step,
         throughput = ThroughputTimer(batch_size=None)
     samples_passed = init_samples_passed
     pending_micro = []       # device (loss, terms) since the last boundary
-    pending_boundaries = []  # (step, samples_passed, [micro records])
+    pending_boundaries = []  # deferred metric records (see flush_metrics)
+    boundary_count = 0       # optimizer boundaries deferred so far
     init_batch = init_step * accumulation_steps
     global_step = init_batch
     num_skipped = 0
@@ -120,13 +122,15 @@ def train(train_step,
         boundaries amortises it away.  Values and TB keys are identical,
         only the fetch is batched.
         """
-        nonlocal pending_boundaries
+        nonlocal pending_boundaries, boundary_count
         if not pending_boundaries:
             return
         import jax
         fetched = jax.device_get(pending_boundaries)
         pending_boundaries = []
-        for b_step, b_samples, micro in fetched:
+        boundary_count = 0
+
+        def emit(b_step, b_samples, micro):
             loss_sum = 0.0
             smooth_sum, photo_sum, out_reg_sum = [], [], []
             for p_loss, p_terms in micro:
@@ -149,6 +153,19 @@ def train(train_step,
                     logger.add_scalar(f'General/learning rate/{i}', lr,
                                       b_samples)
 
+        for record in fetched:
+            if record[0] == 'fused':
+                # stacked per-step outputs of a fused window
+                _, base_step, samples_list, loss_k, terms_k = record
+                import jax as _jax
+                for i, b_samples in enumerate(samples_list):
+                    micro_i = (loss_k[i], _jax.tree_util.tree_map(
+                        lambda x: x[i], terms_k))
+                    emit(base_step + i, b_samples, [micro_i])
+            else:
+                _, b_step, b_samples, micro = record
+                emit(b_step, b_samples, micro)
+
     def report_skip(host_batch):
         nonlocal num_skipped
         num_skipped += 1
@@ -163,7 +180,8 @@ def train(train_step,
 
     def run_step(host_batch, device_batch):
         """Per-(micro)batch body: step, metric bookkeeping, hooks."""
-        nonlocal state, global_step, samples_passed, pending_micro
+        nonlocal state, global_step, samples_passed, pending_micro, \
+            boundary_count
         global_step += 1
         samples_passed += host_batch['size']
         if throughput is not None:
@@ -183,12 +201,13 @@ def train(train_step,
         pending_micro.append((loss, terms))
         if is_step_boundary:
             step = global_step // accumulation_steps
-            pending_boundaries.append((step, samples_passed,
+            pending_boundaries.append(('single', step, samples_passed,
                                        pending_micro))
             pending_micro = []
+            boundary_count += 1
             hook_fires = any(step % getattr(h, 'interval', 1) == 0
                              for h in hooks.values())
-            if hook_fires or len(pending_boundaries) >= metric_flush_steps:
+            if hook_fires or boundary_count >= metric_flush_steps:
                 flush_metrics()
         timers('logging').stop()
 
@@ -205,6 +224,46 @@ def train(train_step,
                           'train_step',
                           'logging'] + list(hooks))
 
+    def hook_inside(first_opt_step, count):
+        """Does any hook fire at opt steps (first, first + count]?"""
+        for h in hooks.values():
+            interval = getattr(h, 'interval', 1)
+            if (first_opt_step + count) // interval \
+                    != first_opt_step // interval:
+                return True
+        return False
+
+    def run_fused(host_batches, device_window):
+        """One dispatch for a whole window (train_step_fused)."""
+        nonlocal state, global_step, samples_passed, boundary_count
+        timers('train_step').start()
+        state, (loss_k, terms_k) = train_step_fused(state, device_window)
+        timers('train_step').stop()
+        base_step = global_step // accumulation_steps
+        samples_list = []
+        for host_batch in host_batches:
+            samples_passed += host_batch['size']
+            samples_list.append(samples_passed)
+        global_step += len(host_batches)
+        timers('logging').start()
+        pending_boundaries.append(('fused', base_step + 1, samples_list,
+                                   loss_k, terms_k))
+        boundary_count += len(host_batches)
+        step = global_step // accumulation_steps
+        hook_fires = any(step % getattr(h, 'interval', 1) == 0
+                         for h in hooks.values())
+        if hook_fires or boundary_count >= metric_flush_steps:
+            flush_metrics()
+        timers('logging').stop()
+        if on_state_update is not None:
+            on_state_update(state)
+        for k, hook in hooks.items():   # periodic wrappers self-gate
+            timers(k).start()
+            hook(step, samples_passed)
+            timers(k).stop()
+        timers.log(names=['batch_construction', 'train_step', 'logging']
+                   + list(hooks))
+
     if window > 0:
         assert prepare_batch is None, \
             'the device queue and the mesh prepare_batch are exclusive'
@@ -217,11 +276,20 @@ def train(train_step,
             timers('batch_construction').stop()
             for host_batch in skipped:
                 report_skip(host_batch)
-            for i in range(n_valid):
-                if global_step == num_steps * accumulation_steps:
-                    done = True
-                    break
-                run_step(host_batches[i], device_window)
+            remaining = num_steps * accumulation_steps - global_step
+            # fused fast path: the whole window in one dispatch — only
+            # when no hook must fire mid-window (exact cadence parity)
+            if (train_step_fused is not None and n_valid == window
+                    and remaining >= window
+                    and accumulation_steps == 1
+                    and not hook_inside(global_step, window - 1)):
+                run_fused(host_batches, device_window)
+            else:
+                for i in range(n_valid):
+                    if global_step == num_steps * accumulation_steps:
+                        done = True
+                        break
+                    run_step(host_batches[i], device_window)
             if done:
                 break
             timers('batch_construction').start()

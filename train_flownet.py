@@ -133,6 +133,7 @@ def main(argv=None):
     logger = SummaryWriter(str(args.log_path))
 
     prepare_batch = None
+    train_step_fused = None
     if args.mesh is not None:
         from dvs_of_training_framework_tpu.parallel import (
             make_mesh, make_sharded_train_step, shard_host_batch,
@@ -158,6 +159,12 @@ def main(argv=None):
                                      args.loss_weights,
                                      args.accum_step, is_raw=args.is_raw,
                                      window=args.device_queue_window)
+        if args.device_queue_window > 0 and args.accum_step == 1:
+            from dvs_of_training_framework_tpu.training.state import \
+                make_fused_window_step
+            train_step_fused = make_fused_window_step(
+                model, evaluator, tx, args.loss_weights, args.accum_step,
+                args.device_queue_window, is_raw=args.is_raw)
     eval_step = make_eval_step(model, evaluator, args.loss_weights,
                                is_raw=True)
 
@@ -232,7 +239,8 @@ def main(argv=None):
             prepare_batch=prepare_batch,
             sequence_length=pad_sequence_length(args),
             window=(0 if args.mesh is not None
-                    else args.device_queue_window))
+                    else args.device_queue_window),
+            train_step_fused=train_step_fused)
 
     state_holder['state'] = state
     samples = samples_passed
