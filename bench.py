@@ -104,6 +104,9 @@ def make_batch(rng, sample_offset=0):
 
 
 def measure_tpu():
+    from dvs_of_training_framework_tpu.utils.compilation_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
     import jax
     from dvs_of_training_framework_tpu.losses import MultiScaleLoss
     from dvs_of_training_framework_tpu.models import load_model_class

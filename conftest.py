@@ -20,3 +20,9 @@ if '--xla_force_host_platform_device_count' not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# persistent compilation cache: repeat suite runs skip recompiles
+from dvs_of_training_framework_tpu.utils.compilation_cache import \
+    enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

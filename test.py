@@ -299,6 +299,9 @@ def process_all(args):
 
 def main():
     args = parse_args()
+    from dvs_of_training_framework_tpu.utils.compilation_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
     if args.step is None:
         process_all(args)
     else:

@@ -90,6 +90,10 @@ def main(argv=None):
         maybe_initialize_distributed
     maybe_initialize_distributed(args)
 
+    from dvs_of_training_framework_tpu.utils.compilation_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     from dvs_of_training_framework_tpu.data.dataloader import (
         get_dataloader, get_trainset_params)

@@ -189,6 +189,10 @@ def main():
     args = parse_args(sys.argv[1:])
     args.mbs = 1
 
+    from dvs_of_training_framework_tpu.utils.compilation_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import tqdm
     from dvs_of_training_framework_tpu.data.dataloader import (
