@@ -198,6 +198,13 @@ class DatasetImpl:
             table[:, 2] -= image_ts[0]
             image_ts = image_ts - image_ts[0]
         table = table.astype(np.float32)
+        if table.shape[0]:
+            # the float32 cast can round an event sitting within one ulp
+            # of a frame time PAST it; pin the cast times into the frame
+            # interval as the downstream f32 pipeline will see it
+            np.clip(table[:, 2],
+                    np.float32(image_ts[0]), np.float32(image_ts[-1]),
+                    out=table[:, 2])
 
         if self.augmentation:
             if is_flip is None:
@@ -218,9 +225,11 @@ class DatasetImpl:
 
         if table.shape[0]:
             t = table[:, 2]
-            # note: float64 bounds — an ``initial=`` shortcut would cast
-            # them to float32 and can round the upper bound past itself.
-            assert t.min() >= image_ts[0] and t.max() <= image_ts[-1], \
+            # bounds in float32: that is what the cast event times (clipped
+            # above) are guaranteed against; comparing against the float64
+            # originals spuriously fails on boundary-ulp events
+            assert t.min() >= np.float32(image_ts[0]) \
+                and t.max() <= np.float32(image_ts[-1]), \
                 'event timestamps escape the frame interval'
 
         if self.is_raw:
