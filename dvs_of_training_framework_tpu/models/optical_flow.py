@@ -32,7 +32,7 @@ class BaseOpticalFlow:
                  model_cls,
                  model=None,
                  activation='relu',
-                 event_capacity=2 ** 17,
+                 event_capacity=2 ** 19,
                  **model_kwargs):
         from .loader import filter_kwargs
 
