@@ -74,6 +74,10 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2):
                     return True
                 hosts, prepared = zip(*pending)
                 n_valid = len(prepared)
+                # narrow to wire dtypes before upload; the jitted step
+                # expands on device (schema.compact_batch/expand_batch)
+                from .schema import compact_batch
+                prepared = [compact_batch(b) for b in prepared]
                 padded = list(prepared) + [prepared[-1]] * \
                     (window - n_valid)
                 device_window = jax.device_put(stack_batches(padded))

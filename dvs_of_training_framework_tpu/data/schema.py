@@ -67,6 +67,59 @@ class Batch:
     size: int = struct.field(pytree_node=False)
 
 
+def compact_batch(batch: Batch) -> Batch:
+    """Narrow a device-ready Batch to compact wire dtypes (~2.6x fewer
+    bytes): int16 coordinates/indices, int8 polarity, uint8 images when
+    they are integral (they come from the uint8 codec/frames, so they
+    are, unless a plugin injects fractional dense inputs).
+
+    ``expand_batch`` is the exact inverse on device; pairing them is
+    lossless.  Upload bytes matter on PCIe hosts and under tunnelled
+    runtimes (PERFORMANCE.md round 2).
+    """
+    ev = batch.events
+    if ev is not None:
+        # int16 holds VALUES (pixel coords < 32768, element/sample ids),
+        # not buffer indices — any capacity is fine
+        ev = EventBuffer(
+            x=ev.x.astype(np.int16),
+            y=ev.y.astype(np.int16),
+            timestamp=ev.timestamp,
+            polarity=ev.polarity.astype(np.int8),
+            element_index=ev.element_index.astype(np.int16),
+            sample_index=ev.sample_index.astype(np.int16),
+            num_events=ev.num_events)
+    images = batch.images
+    if isinstance(images, np.ndarray) and images.dtype == np.float32 \
+            and images.min(initial=0) >= 0 and images.max(initial=0) <= 255:
+        as_u8 = images.astype(np.uint8)
+        if np.array_equal(as_u8.astype(np.float32), images):
+            images = as_u8
+    return Batch(events=ev, data=batch.data, timestamps=batch.timestamps,
+                 sample_idx=batch.sample_idx, images=images,
+                 size=batch.size)
+
+
+def expand_batch(batch: Batch) -> Batch:
+    """Device-side inverse of ``compact_batch`` (callable under jit)."""
+    ev = batch.events
+    if ev is not None and ev.x.dtype != jnp.int32:
+        ev = EventBuffer(
+            x=ev.x.astype(jnp.int32),
+            y=ev.y.astype(jnp.int32),
+            timestamp=ev.timestamp,
+            polarity=ev.polarity.astype(jnp.float32),
+            element_index=ev.element_index.astype(jnp.int32),
+            sample_index=ev.sample_index.astype(jnp.int32),
+            num_events=ev.num_events)
+    images = batch.images
+    if images is not None and images.dtype != jnp.float32:
+        images = images.astype(jnp.float32)
+    return Batch(events=ev, data=batch.data, timestamps=batch.timestamps,
+                 sample_idx=batch.sample_idx, images=images,
+                 size=batch.size)
+
+
 def round_up_to_bucket(n: int, buckets) -> int:
     """Smallest bucket >= n; buckets is a sorted iterable of capacities."""
     for b in buckets:

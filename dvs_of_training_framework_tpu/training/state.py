@@ -99,6 +99,7 @@ def make_train_step(model, evaluator, tx, weights,
         return state.replace(grad_acc=acc)
 
     def step_fn(state, batch):
+        from ..data.schema import expand_batch
         if window:
             idx = state.micro_step % window
             events = batch.events
@@ -117,6 +118,7 @@ def make_train_step(model, evaluator, tx, weights,
                     batch.sample_idx, idx, 0, keepdims=False),
                 images=jax.lax.dynamic_index_in_dim(
                     batch.images, idx, 0, keepdims=False))
+        batch = expand_batch(batch)  # no-op unless wire-compacted
         (loss, terms), grads = grad_fn(state.params, batch)
         inv = 1.0 / accumulation_steps
         if accumulation_steps == 1:
@@ -172,6 +174,8 @@ def make_fused_window_step(model, evaluator, tx, weights,
         return state.replace(grad_acc=acc)
 
     def body(state, batch):
+        from ..data.schema import expand_batch
+        batch = expand_batch(batch)  # no-op unless wire-compacted
         (loss, terms), grads = grad_fn(state.params, batch)
         inv = 1.0 / accumulation_steps
         if accumulation_steps == 1:

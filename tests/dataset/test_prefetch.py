@@ -69,6 +69,34 @@ def test_prefetch_closes_source_on_abandonment():
     assert closed.wait(timeout=10), 'source iterator was not closed'
 
 
+def test_compact_expand_roundtrip():
+    """Wire compaction (int16/int8 events, uint8 images) is lossless."""
+    import jax
+    from dvs_of_training_framework_tpu.data.schema import (compact_batch,
+                                                           expand_batch)
+    batch = pad_batch(make_host_batch(50), capacity=64)
+    compact = compact_batch(batch)
+    assert compact.events.x.dtype == np.int16
+    assert compact.events.polarity.dtype == np.int8
+    assert compact.images.dtype == np.uint8
+    # ~2.6x fewer wire bytes on the event fields
+    restored = jax.jit(expand_batch)(compact)
+    for name in ('x', 'y', 'timestamp', 'polarity', 'element_index',
+                 'sample_index'):
+        np.testing.assert_array_equal(np.asarray(getattr(restored.events,
+                                                         name)),
+                                      np.asarray(getattr(batch.events,
+                                                         name)))
+        assert getattr(restored.events, name).dtype == \
+            getattr(batch.events, name).dtype
+    np.testing.assert_array_equal(np.asarray(restored.images),
+                                  batch.images)
+
+    # fractional images must NOT be narrowed
+    frac = batch.replace(images=batch.images + 0.5)
+    assert compact_batch(frac).images.dtype == np.float32
+
+
 def test_prefetch_keeps_committed_arrays_in_place():
     """Already-committed jax.Arrays (mesh-sharded batches) must not be
     re-put onto the default device."""
