@@ -31,7 +31,8 @@ def stack_batches(batches):
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
 
 
-def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2):
+def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
+                     place_fn=None):
     """Yield ``(host_batches, device_window, n_valid)`` tuples.
 
     Args:
@@ -40,7 +41,13 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2):
             OverflowError; the offending batch is reported via the
             ``skipped`` list on the next yielded window).
         window: K, batches staged per upload.
-        depth: windows staged ahead.
+        depth: windows staged ahead (clamped to >= 1: a window queue is
+            inherently one-ahead — depth 0 would make queue.Queue
+            UNBOUNDED and let the producer stage every window on device).
+        place_fn: ``stacked_host_window -> device window`` upload override
+            (default ``jax.device_put``); the mesh path passes
+            ``shard_host_batch(..., window=True)`` here so the staged
+            window lands with the right NamedSharding.
 
     Each yielded tuple:
         host_batches: the K (or fewer, for the final window) collated host
@@ -51,7 +58,9 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2):
         skipped: host batches dropped by OverflowError since the previous
             window (the caller logs/accounts them).
     """
-    q = queue.Queue(maxsize=depth)
+    if place_fn is None:
+        place_fn = jax.device_put
+    q = queue.Queue(maxsize=max(depth, 1))
     stop = threading.Event()
     sentinel = object()
 
@@ -80,7 +89,7 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2):
                 prepared = [compact_batch(b) for b in prepared]
                 padded = list(prepared) + [prepared[-1]] * \
                     (window - n_valid)
-                device_window = jax.device_put(stack_batches(padded))
+                device_window = place_fn(stack_batches(padded))
                 # materialise on this thread so the consumer never blocks
                 # on (or interleaves with) an in-flight transfer
                 jax.block_until_ready(device_window)

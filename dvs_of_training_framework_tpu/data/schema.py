@@ -100,23 +100,49 @@ def compact_batch(batch: Batch) -> Batch:
                  size=batch.size)
 
 
+def expand_events(ev: EventBuffer) -> EventBuffer:
+    """Device-side inverse of the EventBuffer leg of ``compact_batch``."""
+    if ev.x.dtype == jnp.int32:
+        return ev
+    return EventBuffer(
+        x=ev.x.astype(jnp.int32),
+        y=ev.y.astype(jnp.int32),
+        timestamp=ev.timestamp,
+        polarity=ev.polarity.astype(jnp.float32),
+        element_index=ev.element_index.astype(jnp.int32),
+        sample_index=ev.sample_index.astype(jnp.int32),
+        num_events=ev.num_events)
+
+
 def expand_batch(batch: Batch) -> Batch:
     """Device-side inverse of ``compact_batch`` (callable under jit)."""
     ev = batch.events
-    if ev is not None and ev.x.dtype != jnp.int32:
-        ev = EventBuffer(
-            x=ev.x.astype(jnp.int32),
-            y=ev.y.astype(jnp.int32),
-            timestamp=ev.timestamp,
-            polarity=ev.polarity.astype(jnp.float32),
-            element_index=ev.element_index.astype(jnp.int32),
-            sample_index=ev.sample_index.astype(jnp.int32),
-            num_events=ev.num_events)
+    if ev is not None:
+        ev = expand_events(ev)
     images = batch.images
     if images is not None and images.dtype != jnp.float32:
         images = images.astype(jnp.float32)
     return Batch(events=ev, data=batch.data, timestamps=batch.timestamps,
                  sample_idx=batch.sample_idx, images=images,
+                 size=batch.size)
+
+
+def slice_window_batch(batch: Batch, idx) -> Batch:
+    """Select batch ``idx`` from a window-stacked Batch (leading K axis on
+    every array leaf) with on-device dynamic slices; callable under jit."""
+    import jax
+
+    def take(x):
+        return jax.lax.dynamic_index_in_dim(x, idx, 0, keepdims=False)
+
+    events = batch.events
+    if events is not None:
+        events = jax.tree_util.tree_map(take, events)
+    return Batch(events=events,
+                 data=None if batch.data is None else take(batch.data),
+                 timestamps=take(batch.timestamps),
+                 sample_idx=take(batch.sample_idx),
+                 images=take(batch.images),
                  size=batch.size)
 
 

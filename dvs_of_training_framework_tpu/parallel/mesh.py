@@ -132,15 +132,21 @@ def split_batch_for_mesh(collated: dict, n_shards: int,
 
 
 def shard_host_batch(batch: Batch, mesh: Mesh, axis: str = 'data',
-                     event_axis: Optional[str] = None) -> Batch:
+                     event_axis: Optional[str] = None,
+                     window: bool = False) -> Batch:
     """Place a leading-shard-axis Batch onto the mesh.
 
     Event buffers are sharded over ``(axis, event_axis)`` when an event axis
     is given (their arrays carry two leading shard axes); everything else is
     sharded over ``axis`` and replicated along the event axis.
+
+    With ``window=True`` every array carries an extra leading device-queue
+    window axis (K stacked batches, data/device_queue.py) which is
+    replicated: specs gain a leading ``None``.
     """
-    data_sharding = NamedSharding(mesh, P(axis))
-    event_sharding = NamedSharding(mesh, P(axis, event_axis)) \
+    lead = (None,) if window else ()
+    data_sharding = NamedSharding(mesh, P(*lead, axis))
+    event_sharding = NamedSharding(mesh, P(*lead, axis, event_axis)) \
         if event_axis else data_sharding
 
     events = batch.events
@@ -158,7 +164,8 @@ def shard_host_batch(batch: Batch, mesh: Mesh, axis: str = 'data',
 def make_sharded_train_step(model, evaluator, tx, weights,
                             accumulation_steps: int, mesh: Mesh,
                             is_raw: bool = True, axis: str = 'data',
-                            event_axis: Optional[str] = None):
+                            event_axis: Optional[str] = None,
+                            window: int = 0):
     """Jitted SPMD training step over the mesh's data axis.
 
     The per-device program is the single-device loss/grad computation on the
@@ -177,6 +184,12 @@ def make_sharded_train_step(model, evaluator, tx, weights,
     per event shard, so they — and only they — are psum'd over the event
     axis.  The two contributions are separated with nested VJPs, no
     parameter-name assumptions.
+
+    With ``window = K > 0`` the step consumes a device-staged window of K
+    sharded batches (extra leading K axis on every array, replicated over
+    the mesh — ``shard_host_batch(window=True)``) and selects batch
+    ``micro_step % K`` on device, exactly like the single-device window
+    step (training/state.py).
     """
     loss_fn = make_loss_fn(model, evaluator, weights, is_raw)
     n_shards = mesh.shape[axis]
@@ -188,8 +201,10 @@ def make_sharded_train_step(model, evaluator, tx, weights,
     from ..losses.loss import combined_loss
 
     def per_device_grads(params, batch):
+        from ..data.schema import expand_batch
         # strip the per-device leading axis of size 1
         local = jax.tree_util.tree_map(lambda x: x[0], batch)
+        local = expand_batch(local)  # no-op unless wire-compacted
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, local)
         grads = jax.lax.pmean(grads, axis)
@@ -200,11 +215,15 @@ def make_sharded_train_step(model, evaluator, tx, weights,
 
     def per_device_grads_event(params, batch_events, batch_timestamps,
                                batch_sample_idx, batch_images):
+        from ..data.schema import expand_events
         # events carry (data, event) lead axes; the rest only data
         events = jax.tree_util.tree_map(lambda x: x[0, 0], batch_events)
+        events = expand_events(events)  # no-op unless wire-compacted
         timestamps = batch_timestamps[0]
         sample_idx = batch_sample_idx[0]
         images = batch_images[0]
+        if images.dtype != jnp.float32:
+            images = images.astype(jnp.float32)
         imsize = tuple(images.shape[-2:])
 
         def quantize(p):
@@ -269,7 +288,7 @@ def make_sharded_train_step(model, evaluator, tx, weights,
     def hold_branch(state, acc):
         return state.replace(grad_acc=acc)
 
-    def step_fn(state: TrainState, batch: Batch):
+    def single(state: TrainState, batch: Batch):
         grads, loss, terms = sharded_grads(state.params, batch)
         inv = 1.0 / accumulation_steps
         if accumulation_steps == 1:
@@ -289,4 +308,32 @@ def make_sharded_train_step(model, evaluator, tx, weights,
         new_state = new_state.replace(micro_step=state.micro_step + 1)
         return new_state, (loss * inv, terms)
 
+    def step_fn(state: TrainState, batch: Batch):
+        from ..data.schema import slice_window_batch
+        if window:
+            batch = slice_window_batch(batch, state.micro_step % window)
+        return single(state, batch)
+
+    step_fn._single = single  # reused by the fused window builder
     return jax.jit(step_fn, donate_argnums=(0,)), n_shards
+
+
+def make_sharded_fused_window_step(model, evaluator, tx, weights,
+                                   accumulation_steps: int, mesh: Mesh,
+                                   window: int, is_raw: bool = True,
+                                   axis: str = 'data',
+                                   event_axis: Optional[str] = None):
+    """K sharded train steps in ONE dispatch: ``lax.scan`` over the staged
+    window with the shard_map step as the body (SPMD twin of
+    training/state.py make_fused_window_step).  The window axis is
+    replicated over the mesh; each scan iteration slices one sharded batch
+    and runs the psum step on it."""
+    step, _ = make_sharded_train_step(
+        model, evaluator, tx, weights, accumulation_steps, mesh,
+        is_raw=is_raw, axis=axis, event_axis=event_axis)
+    single = step.__wrapped__._single
+
+    def fused(state, window_batch):
+        return jax.lax.scan(single, state, window_batch, length=window)
+
+    return jax.jit(fused, donate_argnums=(0,))

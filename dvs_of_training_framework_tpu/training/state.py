@@ -99,25 +99,9 @@ def make_train_step(model, evaluator, tx, weights,
         return state.replace(grad_acc=acc)
 
     def step_fn(state, batch):
-        from ..data.schema import expand_batch
+        from ..data.schema import expand_batch, slice_window_batch
         if window:
-            idx = state.micro_step % window
-            events = batch.events
-            if events is not None:
-                events = jax.tree_util.tree_map(
-                    lambda x: jax.lax.dynamic_index_in_dim(
-                        x, idx, 0, keepdims=False), events)
-            batch = batch.replace(
-                events=events,
-                data=None if batch.data is None else
-                jax.lax.dynamic_index_in_dim(batch.data, idx, 0,
-                                             keepdims=False),
-                timestamps=jax.lax.dynamic_index_in_dim(
-                    batch.timestamps, idx, 0, keepdims=False),
-                sample_idx=jax.lax.dynamic_index_in_dim(
-                    batch.sample_idx, idx, 0, keepdims=False),
-                images=jax.lax.dynamic_index_in_dim(
-                    batch.images, idx, 0, keepdims=False))
+            batch = slice_window_batch(batch, state.micro_step % window)
         batch = expand_batch(batch)  # no-op unless wire-compacted
         (loss, terms), grads = grad_fn(state.params, batch)
         inv = 1.0 / accumulation_steps

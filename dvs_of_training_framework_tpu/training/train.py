@@ -57,7 +57,8 @@ def train(train_step,
           sequence_length=None,
           metric_flush_steps: int = 16,
           window: int = 0,
-          train_step_fused=None):
+          train_step_fused=None,
+          place_window=None):
     """Run the training loop.
 
     Args:
@@ -84,7 +85,12 @@ def train(train_step,
             upload and the jitted step slices on device (train_step must
             be built with the same ``window`` — see state.make_train_step
             and data/device_queue.py).  Requires micro_step to start
-            window-aligned, which holds for fresh/resumed states.
+            window-aligned, which holds for fresh/resumed states (and is
+            asserted at entry).
+        place_window: window-upload override forwarded to
+            ``prefetch_windows`` — required when ``prepare_batch`` is also
+            set (mesh mode: prepare_batch splits on host, place_window
+            uploads the stacked window with the mesh sharding).
 
     Returns:
         (state, samples_passed)
@@ -155,13 +161,17 @@ def train(train_step,
 
         for record in fetched:
             if record[0] == 'fused':
-                # stacked per-step outputs of a fused window
-                _, base_step, samples_list, loss_k, terms_k = record
+                # stacked per-micro-step outputs of a fused window, grouped
+                # into optimizer boundaries of accumulation_steps micros
+                _, first_step, samples_list, loss_k, terms_k = record
                 import jax as _jax
-                for i, b_samples in enumerate(samples_list):
-                    micro_i = (loss_k[i], _jax.tree_util.tree_map(
-                        lambda x: x[i], terms_k))
-                    emit(base_step + i, b_samples, [micro_i])
+                for j, b_samples in enumerate(samples_list):
+                    micros = [
+                        (loss_k[i], _jax.tree_util.tree_map(
+                            lambda x, i=i: x[i], terms_k))
+                        for i in range(j * accumulation_steps,
+                                       (j + 1) * accumulation_steps)]
+                    emit(first_step + j, b_samples, micros)
             else:
                 _, b_step, b_samples, micro = record
                 emit(b_step, b_samples, micro)
@@ -236,19 +246,27 @@ def train(train_step,
     def run_fused(host_batches, device_window):
         """One dispatch for a whole window (train_step_fused)."""
         nonlocal state, global_step, samples_passed, boundary_count
+        assert not pending_micro, \
+            'fused window entered with a partial accumulation group'
+        if throughput is not None:
+            throughput.batch_size = sum(b['size'] for b in host_batches)
+            throughput.start()
         timers('train_step').start()
         state, (loss_k, terms_k) = train_step_fused(state, device_window)
         timers('train_step').stop()
+        if throughput is not None:
+            throughput.stop()
         base_step = global_step // accumulation_steps
-        samples_list = []
-        for host_batch in host_batches:
+        samples_list = []   # samples_passed at each optimizer boundary
+        for i, host_batch in enumerate(host_batches):
             samples_passed += host_batch['size']
-            samples_list.append(samples_passed)
+            if (global_step + i + 1) % accumulation_steps == 0:
+                samples_list.append(samples_passed)
         global_step += len(host_batches)
         timers('logging').start()
         pending_boundaries.append(('fused', base_step + 1, samples_list,
                                    loss_k, terms_k))
-        boundary_count += len(host_batches)
+        boundary_count += len(samples_list)
         step = global_step // accumulation_steps
         hook_fires = any(step % getattr(h, 'interval', 1) == 0
                          for h in hooks.values())
@@ -265,11 +283,22 @@ def train(train_step,
                    + list(hooks))
 
     if window > 0:
-        assert prepare_batch is None, \
-            'the device queue and the mesh prepare_batch are exclusive'
+        assert prepare_batch is None or place_window is not None, \
+            'a mesh prepare_batch under the device queue must come with ' \
+            'a place_window that uploads the stacked window sharded'
+        # the on-device ``micro_step % window`` slice assumes the loop
+        # enters window-aligned; a state resumed mid-window would silently
+        # consume the wrong staged batch each step
+        import jax as _jax
+        micro0 = int(_jax.device_get(state.micro_step))
+        assert micro0 % window == 0, \
+            f'resumed micro_step {micro0} is not aligned to the device-' \
+            f'queue window {window}; train with a window that divides ' \
+            'the checkpoint cadence or disable the device queue'
         from ..data.device_queue import prefetch_windows
         stream = prefetch_windows(iter(loader), make_device_batch,
-                                  window=window, depth=prefetch_depth)
+                                  window=window, depth=prefetch_depth,
+                                  place_fn=place_window)
         timers('batch_construction').start()
         done = False
         for host_batches, device_window, n_valid, skipped in stream:
@@ -277,12 +306,16 @@ def train(train_step,
             for host_batch in skipped:
                 report_skip(host_batch)
             remaining = num_steps * accumulation_steps - global_step
+            first_opt = global_step // accumulation_steps
             # fused fast path: the whole window in one dispatch — only
-            # when no hook must fire mid-window (exact cadence parity)
+            # when the window covers whole optimizer boundaries and no
+            # hook must fire mid-window (exact cadence parity)
             if (train_step_fused is not None and n_valid == window
                     and remaining >= window
-                    and accumulation_steps == 1
-                    and not hook_inside(global_step, window - 1)):
+                    and window % accumulation_steps == 0
+                    and global_step % accumulation_steps == 0
+                    and not hook_inside(first_opt,
+                                        window // accumulation_steps - 1)):
                 run_fused(host_batches, device_window)
             else:
                 for i in range(n_valid):

@@ -138,37 +138,60 @@ def main(argv=None):
 
     prepare_batch = None
     train_step_fused = None
+    place_window = None
+    window = args.device_queue_window
     if args.mesh is not None:
         from dvs_of_training_framework_tpu.parallel import (
-            make_mesh, make_sharded_train_step, shard_host_batch,
+            make_mesh, make_sharded_fused_window_step,
+            make_sharded_train_step, shard_host_batch,
             split_batch_for_mesh)
         assert args.is_raw, 'mesh training currently expects raw events'
+        assert not args.dynamic_sample_length, \
+            '--mesh with --dynamic-sample-length is not supported: the ' \
+            'mesh batch split expects equal per-shard timestamp counts'
         mesh = make_mesh(args.mesh)
         event_axis = 'event' if 'event' in mesh.shape else None
         event_shards = mesh.shape.get('event', 1)
         train_step, n_shards = make_sharded_train_step(
             model, evaluator, tx, args.loss_weights, args.accum_step,
-            mesh, is_raw=True, event_axis=event_axis)
+            mesh, is_raw=True, event_axis=event_axis, window=window)
         assert args.mbs % n_shards == 0, \
             f'micro batch {args.mbs} not divisible by {n_shards} devices'
+        if window > 0 and window % args.accum_step == 0:
+            train_step_fused = make_sharded_fused_window_step(
+                model, evaluator, tx, args.loss_weights, args.accum_step,
+                mesh, window, is_raw=True, event_axis=event_axis)
 
-        def prepare_batch(collated, capacity):
-            sharded = split_batch_for_mesh(
+        def split_only(collated, capacity):
+            return split_batch_for_mesh(
                 collated, n_shards,
                 capacity_per_shard=max(capacity // n_shards, 4096),
                 event_shards=event_shards)
-            return shard_host_batch(sharded, mesh, event_axis=event_axis)
+
+        if window > 0:
+            # device queue over the mesh: prepare splits on host, the
+            # window producer stacks K sharded batches and place_window
+            # uploads them once with the mesh sharding
+            prepare_batch = split_only
+
+            def place_window(stacked):
+                return shard_host_batch(stacked, mesh,
+                                        event_axis=event_axis, window=True)
+        else:
+            def prepare_batch(collated, capacity):
+                return shard_host_batch(split_only(collated, capacity),
+                                        mesh, event_axis=event_axis)
     else:
         train_step = make_train_step(model, evaluator, tx,
                                      args.loss_weights,
                                      args.accum_step, is_raw=args.is_raw,
-                                     window=args.device_queue_window)
-        if args.device_queue_window > 0 and args.accum_step == 1:
+                                     window=window)
+        if window > 0 and window % args.accum_step == 0:
             from dvs_of_training_framework_tpu.training.state import \
                 make_fused_window_step
             train_step_fused = make_fused_window_step(
                 model, evaluator, tx, args.loss_weights, args.accum_step,
-                args.device_queue_window, is_raw=args.is_raw)
+                window, is_raw=args.is_raw)
     eval_step = make_eval_step(model, evaluator, args.loss_weights,
                                is_raw=True)
 
@@ -242,9 +265,9 @@ def main(argv=None):
             on_state_update=on_state_update,
             prepare_batch=prepare_batch,
             sequence_length=pad_sequence_length(args),
-            window=(0 if args.mesh is not None
-                    else args.device_queue_window),
-            train_step_fused=train_step_fused)
+            window=window,
+            train_step_fused=train_step_fused,
+            place_window=place_window)
 
     state_holder['state'] = state
     samples = samples_passed
