@@ -58,7 +58,8 @@ def train(train_step,
           metric_flush_steps: int = 16,
           window: int = 0,
           train_step_fused=None,
-          place_window=None):
+          place_window=None,
+          samples_scale: int = 1):
     """Run the training loop.
 
     Args:
@@ -91,6 +92,11 @@ def train(train_step,
             ``prefetch_windows`` — required when ``prepare_batch`` is also
             set (mesh mode: prepare_batch splits on host, place_window
             uploads the stacked window with the mesh sharding).
+        samples_scale: multiplier applied to every host batch's ``size``
+            when accounting samples_passed — multi-host processes see only
+            their ``1/process_count`` slice of each global batch, but
+            samples_passed (LR schedule, metrics x-axis, resume seek into
+            the global stream) counts GLOBAL samples.
 
     Returns:
         (state, samples_passed)
@@ -193,7 +199,7 @@ def train(train_step,
         nonlocal state, global_step, samples_passed, pending_micro, \
             boundary_count
         global_step += 1
-        samples_passed += host_batch['size']
+        samples_passed += host_batch['size'] * samples_scale
         if throughput is not None:
             throughput.batch_size = host_batch['size']
             throughput.start()
@@ -259,7 +265,7 @@ def train(train_step,
         base_step = global_step // accumulation_steps
         samples_list = []   # samples_passed at each optimizer boundary
         for i, host_batch in enumerate(host_batches):
-            samples_passed += host_batch['size']
+            samples_passed += host_batch['size'] * samples_scale
             if (global_step + i + 1) % accumulation_steps == 0:
                 samples_list.append(samples_passed)
         global_step += len(host_batches)

@@ -261,3 +261,27 @@ class SummaryWriter:
 
     def __exit__(self, exc_type, exc_val, exc_tb):
         self.close()
+
+
+class NullSummaryWriter:
+    """No-op SummaryWriter stand-in.
+
+    Non-zero processes of a multi-host run must not write TensorBoard
+    events (process 0 owns observability; duplicate writers to the same
+    log dir would interleave restart-style artifacts).
+    """
+
+    def add_scalar(self, tag, value, global_step=0, walltime=None):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.close()

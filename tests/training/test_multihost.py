@@ -25,6 +25,54 @@ def free_port():
         return s.getsockname()[1]
 
 
+def test_two_process_train_cli(tmp_path):
+    """The PRODUCT multi-host path: train_flownet.main on 2 processes.
+
+    A 4-way data mesh spans two 2-device processes; each feeds its half
+    of every global batch (ProcessLocalStream); process 0 alone writes
+    checkpoints, provenance and TB logs; samples_passed counts GLOBAL
+    samples."""
+    from tests.helpers import data_path
+    data_root = tmp_path / 'mvsec'
+    data_root.mkdir()
+    (data_root / 'outdoor_day2').symlink_to(data_path)
+    (data_root / 'outdoor_day1').symlink_to(data_path)
+    model_dir = tmp_path / 'model'
+
+    port = free_port()
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    env['DVS_DATA_PATH'] = str(data_root)
+    procs = [subprocess.Popen(
+        [sys.executable, str(HERE / 'multihost_cli_worker.py'),
+         f'localhost:{port}', '2', str(pid), str(model_dir)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in range(2)]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f'worker failed:\n{out}'
+
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    ser = Serializer(model_dir)
+    steps = ser.list_known_steps()
+    assert 2 in steps, f'missing final checkpoint, have {steps}'
+    state = ser.read_state_dict(2)
+    # 2 optimizer steps x global batch 4 — NOT the per-process 2
+    assert int(state['samples_passed']) == 8
+    # single writer: process 1 wrote no TB events (process 0 legitimately
+    # produces two files — its SummaryWriter and its DeviceMonitor child)
+    assert (model_dir / 'parameters').is_file()
+    pid1 = re.search(r'RESULT process=1 pid=(\d+)', outputs[1]).group(1)
+    event_files = [f.name for f in
+                   (model_dir / 'log').glob('events.out.tfevents.*')]
+    assert event_files, 'process 0 wrote no logs'
+    assert not any(f'.{pid1}.' in name for name in event_files), \
+        f'process 1 ({pid1}) wrote TB events: {event_files}'
+
+
 def test_two_process_training_step():
     port = free_port()
     env = dict(os.environ)

@@ -54,15 +54,29 @@ def pad_sequence_length(args):
 
 
 def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
-                 event_image_fn=None):
+                 event_image_fn=None, localize_params=False):
     """Periodic hooks: serialization every checkpointing_interval,
-    validation every vp (reference train_flownet.py:112-126)."""
+    validation every vp (reference train_flownet.py:112-126).
+
+    ``localize_params=True`` (multi-host) fetches the replicated params to
+    host before validation: the single-device eval_step cannot consume
+    arrays committed to a multi-process mesh.
+    """
     from dvs_of_training_framework_tpu.data.dataloader import (
         get_dataloader, get_valset_params)
     from dvs_of_training_framework_tpu.training.hooks import (
         SerializationHook, ValidationHook)
     from dvs_of_training_framework_tpu.training.train import \
         make_hook_periodic
+
+    if localize_params:
+        import jax
+
+        def get_params():
+            return jax.device_get(state_holder['state'].params)
+    else:
+        def get_params():
+            return state_holder['state'].params
 
     hooks = {'serialization': SerializationHook(
         serializer, lambda: state_holder['state'], logger)}
@@ -72,7 +86,7 @@ def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
             return get_dataloader(get_valset_params(args),
                                   event_image_fn=event_image_fn)
         hooks['validation'] = ValidationHook(
-            eval_step, lambda: state_holder['state'].params,
+            eval_step, get_params,
             loader_factory, logger, tags, is_raw=True,
             event_capacity=args.event_capacity,
             sequence_length=pad_sequence_length(args))
@@ -83,7 +97,10 @@ def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
 
 
 def main(argv=None):
-    args = parse_args(sys.argv[1:] if argv is None else argv)
+    # provenance is written after distributed init: only process 0 may
+    # write (identical concurrent writers could interleave)
+    args = parse_args(sys.argv[1:] if argv is None else argv,
+                      is_write=False)
 
     # multi-host: must run before the first jax.devices() touch
     from dvs_of_training_framework_tpu.parallel import \
@@ -95,6 +112,25 @@ def main(argv=None):
     enable_compilation_cache()
 
     import jax
+
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+    if is_main:
+        from dvs_of_training_framework_tpu.utils.common import (
+            collect_execution_info, write_execution_info)
+        write_execution_info(args.model, collect_execution_info(args))
+    if n_proc > 1:
+        # every process must collate the SAME global batch stream (each
+        # keeps its 1/n_proc slice): seed shuffle + augmentation RNGs
+        # identically and keep sample loading single-threaded — worker
+        # threads would consume the shared RNG in nondeterministic order
+        import random as _random
+        import numpy as _np
+        _random.seed(12345)
+        _np.random.seed(12345)
+        args.num_workers = 0
+        if args.mesh is None:
+            args.mesh = f'data:{len(jax.devices())}'
     from dvs_of_training_framework_tpu.data.dataloader import (
         get_dataloader, get_trainset_params)
     from dvs_of_training_framework_tpu.losses import init_losses
@@ -134,7 +170,11 @@ def main(argv=None):
         sequence_length=args.max_sequence_length)
     tags = shapes2tags(evaluator.shapes)
 
-    logger = SummaryWriter(str(args.log_path))
+    if is_main:
+        logger = SummaryWriter(str(args.log_path))
+    else:
+        from dvs_of_training_framework_tpu.utils.tb import NullSummaryWriter
+        logger = NullSummaryWriter()
 
     prepare_batch = None
     train_step_fused = None
@@ -142,9 +182,8 @@ def main(argv=None):
     window = args.device_queue_window
     if args.mesh is not None:
         from dvs_of_training_framework_tpu.parallel import (
-            make_mesh, make_sharded_fused_window_step,
-            make_sharded_train_step, shard_host_batch,
-            split_batch_for_mesh)
+            make_global_batch, make_mesh, make_sharded_fused_window_step,
+            make_sharded_train_step, split_batch_for_mesh)
         assert args.is_raw, 'mesh training currently expects raw events'
         assert not args.dynamic_sample_length, \
             '--mesh with --dynamic-sample-length is not supported: the ' \
@@ -157,14 +196,22 @@ def main(argv=None):
             mesh, is_raw=True, event_axis=event_axis, window=window)
         assert args.mbs % n_shards == 0, \
             f'micro batch {args.mbs} not divisible by {n_shards} devices'
+        assert (n_shards * event_shards) % n_proc == 0, \
+            f'mesh of {n_shards * event_shards} devices not divisible ' \
+            f'by {n_proc} processes'
         if window > 0 and window % args.accum_step == 0:
             train_step_fused = make_sharded_fused_window_step(
                 model, evaluator, tx, args.loss_weights, args.accum_step,
                 mesh, window, is_raw=True, event_axis=event_axis)
 
+        # each process splits its LOCAL slice of the batch into its local
+        # shards; shard capacity is sized by the GLOBAL device count so
+        # every process agrees (single-process: local == global)
+        n_local_shards = n_shards // n_proc
+
         def split_only(collated, capacity):
             return split_batch_for_mesh(
-                collated, n_shards,
+                collated, n_local_shards,
                 capacity_per_shard=max(capacity // n_shards, 4096),
                 event_shards=event_shards)
 
@@ -175,12 +222,13 @@ def main(argv=None):
             prepare_batch = split_only
 
             def place_window(stacked):
-                return shard_host_batch(stacked, mesh,
-                                        event_axis=event_axis, window=True)
+                return make_global_batch(stacked, mesh,
+                                         event_axis=event_axis,
+                                         window=True)
         else:
             def prepare_batch(collated, capacity):
-                return shard_host_batch(split_only(collated, capacity),
-                                        mesh, event_axis=event_axis)
+                return make_global_batch(split_only(collated, capacity),
+                                         mesh, event_axis=event_axis)
     else:
         train_step = make_train_step(model, evaluator, tx,
                                      args.loss_weights,
@@ -209,9 +257,18 @@ def main(argv=None):
             return net.compute_event_image(events, start_ts, stop_ts, shape,
                                            depth=depth)
 
-    periodic_hooks, hooks = create_hooks(args, serializer, state_holder,
-                                         eval_step, logger, tags,
-                                         event_image_fn)
+    if is_main:
+        periodic_hooks, hooks = create_hooks(args, serializer,
+                                             state_holder, eval_step,
+                                             logger, tags, event_image_fn,
+                                             localize_params=n_proc > 1)
+    else:
+        # process 0 owns all side-effects (checkpoints, TB, validation);
+        # the collective train step itself runs on every process
+        def _noop(step, samples):
+            return None
+        periodic_hooks = {}
+        hooks = {'serialization': _noop, 'validation': _noop}
 
     if not args.do_not_continue:
         global_step, ckpt_params, opt_state, extra = \
@@ -233,6 +290,13 @@ def main(argv=None):
                             sample_idx=samples_passed,
                             process_only_once=args.process_only_once,
                             event_image_fn=event_image_fn)
+    if n_proc > 1:
+        from dvs_of_training_framework_tpu.parallel.distributed import \
+            ProcessLocalStream
+        cap = min(args.event_capacity, args.max_events_per_batch)
+        loader = ProcessLocalStream(
+            loader, jax.process_index(), n_proc, n_shards,
+            capacity_per_shard=max(cap // n_shards, 4096))
 
     if not args.skip_validation:
         hooks['validation'](global_step, samples_passed)
@@ -243,8 +307,11 @@ def main(argv=None):
     def lr_fn(step):
         return current_learning_rates(args, step)
 
-    with Profiler(args.profiling, args.model / 'profiling'), \
-            DeviceMonitor(args.log_path):
+    from contextlib import nullcontext
+    profiler_cm = (Profiler(args.profiling, args.model / 'profiling')
+                   if is_main else nullcontext())
+    monitor_cm = DeviceMonitor(args.log_path) if is_main else nullcontext()
+    with profiler_cm, monitor_cm:
         state, samples_passed = train(
             train_step,
             state,
@@ -267,7 +334,8 @@ def main(argv=None):
             sequence_length=pad_sequence_length(args),
             window=window,
             train_step_fused=train_step_fused,
-            place_window=place_window)
+            place_window=place_window,
+            samples_scale=n_proc)
 
     state_holder['state'] = state
     samples = samples_passed
