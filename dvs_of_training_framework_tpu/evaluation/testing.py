@@ -45,6 +45,15 @@ def _score_window(flow, gt_uv, window_events, gt_proc_fun, is_car):
     return flow_error_dense(gt_flow, flow, count_image, is_car)
 
 
+def _blocks(iterable, size):
+    iterator = iter(iterable)
+    while True:
+        block = list(itertools.islice(iterator, size))
+        if not block:
+            return
+        yield block
+
+
 def evaluate(of,
              events,
              frames,
@@ -54,11 +63,12 @@ def evaluate(of,
              gt_proc_fun=None,
              is_car=False,
              log=False,
-             gt_flow_fn=None):
+             gt_flow_fn=None,
+             batch_windows: int = 8):
     """Evaluate flow quality over a sequence.
 
     Args:
-        of: callable ``([events], [start], [stop]) -> [1, H, W, 2]`` flow.
+        of: callable ``([events], [start], [stop]) -> [B, H, W, 2]`` flow.
         events: ``[x, y, t, p]`` arrays for the full sequence (sorted by t).
         frames: list of (start_ts, stop_ts) evaluation windows.
         gt: dict with 'timestamps', 'x_flow_dist', 'y_flow_dist'.
@@ -66,12 +76,19 @@ def evaluate(of,
         is_car: car-hood crop for outdoor sequences.
         gt_flow_fn: optional ``(start, stop) -> (gt_u, gt_v)`` override for
             the GT propagation (e.g. a memoising or pooled propagator).
+        batch_windows: windows batched per device call.  The reference
+            runs one window per forward (utils/testing.py:10-108); batched
+            inference amortises the upload + dispatch over B windows and
+            keeps the device matrix units fed (PERFORMANCE.md round-2
+            lever 2: ~2.6 s/window through a tunnelled TPU was upload
+            penalty, not compute).  A partial final block is repeat-padded
+            so every call shares one compiled program per event bucket.
 
     Returns:
-        (mean AEE, mean %AEE)
+        (mean AEE, mean %AEE) — identical values for any batch_windows.
 
     The GT propagation for each window runs on a background thread WHILE
-    the device computes the window's flow: propagation is GIL-bound NumPy
+    the device computes the block's flow: propagation is GIL-bound NumPy
     and inference releases the GIL while blocked on the device, so the two
     overlap even on a single host core (measured in
     scripts/benchmarks/profile_eval_pool.py — more threads do NOT scale
@@ -86,26 +103,39 @@ def evaluate(of,
                 gt['x_flow_dist'], gt['y_flow_dist'], gt['timestamps'],
                 start, stop)
 
+    batch_windows = max(int(batch_windows), 1)
     stats = _RunningMeans('aee', 'percent_aee', 'max_flow', 'min_flow')
     with ThreadPoolExecutor(1) as gt_pool:
-        for window_events, start, stop in frame_generator(events, frames):
-            window_events = event_preproc_fun(np.array(window_events).T).T
-            gt_future = gt_pool.submit(gt_flow_fn, start, stop)
-            flow = pred_postproc_fun(
-                of([window_events], [start], [stop])[0])
-            aee, percent_aee, n_points = _score_window(
-                flow, gt_future.result(), window_events, gt_proc_fun,
-                is_car)
-            stats.add(aee=aee, percent_aee=percent_aee,
-                      max_flow=np.max(flow), min_flow=np.min(flow))
+        for block in _blocks(frame_generator(events, frames),
+                             batch_windows):
+            wins = [(event_preproc_fun(np.array(w).T).T, start, stop)
+                    for w, start, stop in block]
+            gt_futures = [gt_pool.submit(gt_flow_fn, start, stop)
+                          for _, start, stop in wins]
+            n = len(wins)
+            # repeat-pad a partial final block: a single static batch size
+            # per event bucket means one compile, extra rows are dropped
+            padded = wins + [wins[-1]] * (batch_windows - n)
+            flows = of([w for w, _, _ in padded],
+                       [s for _, s, _ in padded],
+                       [t for _, _, t in padded])
+            for i in range(n):
+                window_events = wins[i][0]
+                flow = pred_postproc_fun(flows[i])
+                aee, percent_aee, n_points = _score_window(
+                    flow, gt_futures[i].result(), window_events,
+                    gt_proc_fun, is_car)
+                stats.add(aee=aee, percent_aee=percent_aee,
+                          max_flow=np.max(flow), min_flow=np.min(flow))
 
-            if log and stats.count % 100 == 0:
-                print('-------------------------------')
-                print(f'Iter: {stats.count}')
-                print(f"Mean max flow: {stats.mean('max_flow'):.2f}, "
-                      f"mean min flow: {stats.mean('min_flow'):.2f}")
-                print(f"Mean AEE: {stats.mean('aee'):.2f}, mean %AEE: "
-                      f"{stats.mean('percent_aee'):.2f}, #pts: {n_points},")
+                if log and stats.count % 100 == 0:
+                    print('-------------------------------')
+                    print(f'Iter: {stats.count}')
+                    print(f"Mean max flow: {stats.mean('max_flow'):.2f}, "
+                          f"mean min flow: {stats.mean('min_flow'):.2f}")
+                    print(f"Mean AEE: {stats.mean('aee'):.2f}, "
+                          f"mean %AEE: {stats.mean('percent_aee'):.2f}, "
+                          f"#pts: {n_points},")
 
     result = (stats.mean('aee'), stats.mean('percent_aee'))
     if log:

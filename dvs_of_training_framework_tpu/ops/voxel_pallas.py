@@ -208,14 +208,19 @@ def _plane_offsets(plane, valid, num_planes, total):
 
 
 def _pack_events(x, y, weights, num_planes, plane, valid, chunk):
-    """Pack (x, y, w_0..w_{C-1}) into a DMA-aligned [Ep, 128] f32 array."""
+    """Pack (x, y, w_0..w_{C-1}) into a DMA-aligned [Ep, 128] f32 array.
+
+    One concatenate + pad (a single 67 MB write at bench shapes) — NOT a
+    chain of ``.at[].set`` dynamic-update-slices, which re-wrote the full
+    buffer once per column group (~1.3 ms/step profiled, round 3).
+    """
     E, C = weights.shape
     assert C <= _LANE - 2, f'at most {_LANE - 2} channels supported'
     Ep = _round_up(E, chunk) + chunk   # slack so chunked DMA never overruns
-    packed = jnp.zeros((Ep, _LANE), jnp.float32)
-    packed = packed.at[:E, 0].set(x.astype(jnp.float32))
-    packed = packed.at[:E, 1].set(y.astype(jnp.float32))
-    packed = packed.at[:E, 2:2 + C].set(weights.astype(jnp.float32))
+    cols = jnp.concatenate([x.astype(jnp.float32)[:, None],
+                            y.astype(jnp.float32)[:, None],
+                            weights.astype(jnp.float32)], axis=1)
+    packed = jnp.pad(cols, ((0, Ep - E), (0, _LANE - 2 - C)))
     offsets = _plane_offsets(plane, valid, num_planes, E)
     return packed, offsets, C, Ep
 

@@ -155,32 +155,40 @@ def _corner_values(images, iy, ix, chunk):
 
     def body(_, args):
         y0c, x0c = args                       # [N, chunk] each
+        c = y0c.shape[1]
+        # BOTH corner rows in ONE batched MXU contraction: the y0 and
+        # y0+1 one-hots are stacked along the point axis (3 einsums per
+        # chunk instead of 6 — kernel launches are a measurable cost of
+        # this program, see PERFORMANCE.md)
+        y_two = jnp.concatenate([y0c, y0c + 1], axis=1)        # [N, 2c]
+        onehot = (y_two[:, :, None] == row_iota).astype(jnp.float32)
+        rows = jnp.einsum('nph,nchw->npcw', onehot, images,
+                          precision='highest')       # [N, 2c, C, W]
 
-        def corner_rows(y_corner):
-            onehot = (y_corner[:, :, None] == row_iota).astype(jnp.float32)
-            # [N, chunk, H] @ [N, C, H, W] -> [N, chunk, C, W]
-            return jnp.einsum('nph,nchw->npcw', onehot, images,
-                              precision='highest')
-
-        rows0 = corner_rows(y0c)
-        rows1 = corner_rows(y0c + 1)
-
-        def pick_col(rows, x_corner):
-            mask = (x_corner[:, :, None] == col_iota).astype(jnp.float32)
+        def pick_col(x_corner):
+            two = jnp.concatenate([x_corner, x_corner], axis=1)
+            mask = (two[:, :, None] == col_iota).astype(jnp.float32)
             return jnp.einsum('npcw,npw->npc', rows, mask,
-                              precision='highest')
+                              precision='highest')   # [N, 2c, C]
 
+        col0 = pick_col(x0c)          # [rows(y0)@x0 ; rows(y0+1)@x0]
+        col1 = pick_col(x0c + 1)
         V = jnp.stack([
-            jnp.stack([pick_col(rows0, x0c), pick_col(rows0, x0c + 1)]),
-            jnp.stack([pick_col(rows1, x0c), pick_col(rows1, x0c + 1)]),
+            jnp.stack([col0[:, :c], col1[:, :c]]),
+            jnp.stack([col0[:, c:], col1[:, c:]]),
         ])                                    # [2, 2, N, chunk, C]
         return None, V
 
-    _, Vs = lax.scan(body, None,
-                     (y0.reshape(N, n_chunks, chunk).transpose(1, 0, 2),
-                      x0.reshape(N, n_chunks, chunk).transpose(1, 0, 2)))
-    # [n_chunks, 2, 2, N, chunk, C] -> [2, 2, N, P', C]
-    V = Vs.transpose(1, 2, 3, 0, 4, 5).reshape(2, 2, N, P + pad, C)
+    if n_chunks == 1:
+        # no scan machinery for a single chunk (small scales)
+        _, V = body(None, (y0, x0))
+    else:
+        _, Vs = lax.scan(
+            body, None,
+            (y0.reshape(N, n_chunks, chunk).transpose(1, 0, 2),
+             x0.reshape(N, n_chunks, chunk).transpose(1, 0, 2)))
+        # [n_chunks, 2, 2, N, chunk, C] -> [2, 2, N, P', C]
+        V = Vs.transpose(1, 2, 3, 0, 4, 5).reshape(2, 2, N, P + pad, C)
     return V[:, :, :, :P, :]
 
 
@@ -202,37 +210,53 @@ def _blend(V, iy, ix):
     return (V * wy * wx).sum(axis=(0, 1))            # [N, P, C]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def grid_sample_onehot(images, grid, chunk=8192):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def grid_sample_onehot(images, grid, chunk=8192, use_pallas=None):
     """MXU grid_sample: differentiable w.r.t. ``grid`` only.
 
     Same semantics as ``grid_sample`` but the per-pixel gathers become
     one-hot contractions (fast on TPU).  ``images`` are treated as
     constants (stop-gradient) — exactly the photometric-loss use-case,
     where frames are inputs, not parameters.
+
+    ``use_pallas``: None = auto (single-channel images on TPU use the
+    one-launch Pallas corner kernel, ops/warp_pallas.py); True/False
+    force it; 'interpret' runs the kernel in interpret mode (CPU tests).
     """
-    out, _ = _gso_fwd(images, grid, chunk)
+    out, _ = _gso_fwd(images, grid, chunk, use_pallas)
     return out
 
 
-def _gso_fwd(images, grid, chunk):
+def _use_pallas(images, use_pallas):
+    if use_pallas is None:
+        return images.shape[1] == 1 and \
+            jax.default_backend() not in ('cpu', 'gpu')
+    return bool(use_pallas)
+
+
+def _gso_fwd(images, grid, chunk, use_pallas):
     images = lax.stop_gradient(images)
     N, C, H, W = images.shape
     Ho, Wo = grid.shape[1:3]
     iy, ix = _unnormalize(grid.reshape(N, Ho * Wo, 2), H, W)
-    V = _corner_values(images, iy, ix, chunk)
+    if _use_pallas(images, use_pallas):
+        from .warp_pallas import corner_values_pallas
+        V = corner_values_pallas(images, iy, ix,
+                                 interpret=use_pallas == 'interpret')
+    else:
+        V = _corner_values(images, iy, ix, chunk)
     out = _blend(V, iy, ix)
     out = out.transpose(0, 2, 1).reshape(N, C, Ho, Wo)
     return out, (V, iy, ix, (N, C, H, W, Ho, Wo))
 
 
-def _gso_fwd_vjp(images, grid, chunk):
+def _gso_fwd_vjp(images, grid, chunk, use_pallas):
     # (custom_vjp fwd rules receive arguments in primal order in this JAX
     # version; only the bwd rule gets nondiff args prepended)
-    return _gso_fwd(images, grid, chunk)
+    return _gso_fwd(images, grid, chunk, use_pallas)
 
 
-def _gso_bwd_vjp(chunk, residuals, g):
+def _gso_bwd_vjp(chunk, use_pallas, residuals, g):
     V, iy, ix, (N, C, H, W, Ho, Wo) = residuals
     g2 = g.reshape(N, C, Ho * Wo).transpose(0, 2, 1)   # [N, P, C]
 

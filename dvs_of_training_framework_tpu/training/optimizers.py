@@ -144,10 +144,16 @@ def _base_transform(name: str, weight_decay: float, schedule,
             optax.scale_by_radam(),
             optax.add_decayed_weights(weight_decay),
             optax.scale_by_schedule(lambda s: -schedule(s)))
+        # flatten wraps lookahead TOO: its slow-weight/sync math is
+        # elementwise, so running it over one contiguous buffer removes
+        # ~4 tree_maps x ~50 leaves of small kernels per step (profiled:
+        # the kernel-count tail dominates the staged step, PERFORMANCE.md
+        # round 3).  Only gradient centralization needs leaf shapes and
+        # stays outside.  Identical math, element for element.
+        wrapped = lookahead(core)
         if flatten:
-            core = optax.flatten(core)
-        inner = optax.chain(gradient_centralization(), core)
-        return lookahead(inner)
+            wrapped = optax.flatten(wrapped)
+        return optax.chain(gradient_centralization(), wrapped)
     raise ValueError(f'Unknown optimizer type {name}')
 
 

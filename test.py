@@ -133,7 +133,8 @@ def perform_single_test(args, cfg, dataset):
                     pred_postproc_fun=None,
                     gt_proc_fun=gt_crop,
                     is_car=cfg.is_car,
-                    log=False)
+                    log=False,
+                    batch_windows=getattr(args, 'eval_batch_windows', 8))
 
 
 # --- per-checkpoint driver ----------------------------------------------------

@@ -95,3 +95,27 @@ def test_evaluate_with_zero_flow_predictor():
     # 1 * 0.2/0.25 = 0.8 px; zero prediction -> AEE 0.8 everywhere
     assert mAEE == pytest.approx(0.8, rel=1e-3)
     assert mpAEE == pytest.approx(1.0, abs=1e-3)
+
+
+def test_evaluate_batched_matches_single():
+    """batch_windows > 1 (batched device inference) must reproduce the
+    window-at-a-time AEE/%AEE exactly, including a partial final block."""
+    import importlib
+    from dvs_of_training_framework_tpu.evaluation import evaluate
+    plugin = importlib.import_module('EVFlowNet')
+    H, W = 32, 32
+    of = plugin.OpticalFlow((H, W), event_capacity=4096)
+    rng = np.random.default_rng(3)
+    n = 900
+    t = np.sort(rng.uniform(0, 3.0, n))
+    events = [rng.integers(0, W, n).astype(np.float64),
+              rng.integers(0, H, n).astype(np.float64),
+              t,
+              rng.choice([-1.0, 1.0], n)]
+    frames = [(0.1 + 0.3 * i, 0.3 + 0.3 * i) for i in range(5)]
+    gt = {'timestamps': np.arange(0, 4.0, 0.25),
+          'x_flow_dist': rng.uniform(-1, 1, (16, H, W)).astype(np.float32),
+          'y_flow_dist': rng.uniform(-1, 1, (16, H, W)).astype(np.float32)}
+    a = evaluate(of, events, frames, gt, batch_windows=1)
+    b = evaluate(of, events, frames, gt, batch_windows=3)
+    np.testing.assert_allclose(b, a, rtol=1e-6)

@@ -144,3 +144,33 @@ def test_onehot_variant_matches_values_and_grads(seed):
     # floor boundary cases; tolerance covers fp noise only
     np.testing.assert_allclose(dgrid, tgrid.grad.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_pallas_corner_kernel_matches(seed):
+    """The one-launch Pallas corner kernel (interpret mode on CPU) is
+    bit-identical to the XLA einsum path in value and grid-grad."""
+    from dvs_of_training_framework_tpu.ops.warp import grid_sample_onehot
+    import jax
+
+    rng = np.random.default_rng(seed)
+    N, C, H, W = 2, 1, 16, 24
+    Ho, Wo = 13, 17
+    images = rng.uniform(0, 255, size=(N, C, H, W)).astype(np.float32)
+    grid = rng.uniform(-1.3, 1.3, size=(N, Ho, Wo, 2)).astype(np.float32)
+    cot = rng.normal(size=(N, C, Ho, Wo)).astype(np.float32)
+
+    def run(use_pallas):
+        def f(g):
+            return (grid_sample_onehot(jnp.asarray(images), g, 64,
+                                       use_pallas)
+                    * jnp.asarray(cot)).sum()
+        val = grid_sample_onehot(jnp.asarray(images), jnp.asarray(grid),
+                                 64, use_pallas)
+        dgrid = jax.grad(f)(jnp.asarray(grid))
+        return np.asarray(val), np.asarray(dgrid)
+
+    v_ref, g_ref = run(False)
+    v_pal, g_pal = run('interpret')
+    np.testing.assert_array_equal(v_pal, v_ref)
+    np.testing.assert_array_equal(g_pal, g_ref)
