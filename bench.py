@@ -37,6 +37,8 @@ WARMUP = int(os.environ.get('BENCH_WARMUP', 3))
 ITERS = int(os.environ.get('BENCH_ITERS', 20))
 DTYPE = os.environ.get('BENCH_DTYPE', 'float32')
 SCATTER = os.environ.get('BENCH_SCATTER', 'auto')
+# 'highest' (golden-exact fp32) | 'bf16x2' (the opt-in loss recipe)
+LOSS_PREC = os.environ.get('BENCH_LOSS_PREC', 'highest')
 
 
 _SIM = None  # (events [N,4], frames, frame_ts) from the DVS simulator
@@ -129,7 +131,8 @@ def measure_tpu():
                            training_steps=1000000, rs=0.5)
     tx = construct_optimizer(args, params)
     evaluator = MultiScaleLoss(
-        [tuple(x // 2 ** i for x in IMSIZE) for i in range(4)][::-1])
+        [tuple(x // 2 ** i for x in IMSIZE) for i in range(4)][::-1],
+        bf16x2=LOSS_PREC == 'bf16x2')
     train_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
                                  accumulation_steps=1, is_raw=True)
     import jax.numpy as jnp

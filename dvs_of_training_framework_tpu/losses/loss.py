@@ -32,7 +32,8 @@ class SingleScaleLoss:
     preallocated meshgrid (utils/loss.py:43-55); under jit it constant-folds.
     """
 
-    def __init__(self, pred_shape: Tuple[int, int], use_mxu_warp=None):
+    def __init__(self, pred_shape: Tuple[int, int], use_mxu_warp=None,
+                 bf16x2: bool = False):
         self.H, self.W = int(pred_shape[0]), int(pred_shape[1])
         xs = jnp.arange(self.W, dtype=jnp.float32)
         ys = jnp.arange(self.H, dtype=jnp.float32)
@@ -44,6 +45,7 @@ class SingleScaleLoss:
             # (frames are constants in this objective)
             use_mxu_warp = jax.default_backend() not in ('cpu', 'gpu')
         self.use_mxu_warp = use_mxu_warp
+        self.bf16x2 = bf16x2
 
     def _warp_grid(self, flow: jnp.ndarray) -> jnp.ndarray:
         """Normalized sampling grid: (base + flow) mapped to [-1, 1]."""
@@ -53,8 +55,14 @@ class SingleScaleLoss:
         return jnp.stack([gx, gy], axis=1)       # [N, 2, H, W]
 
     def photometric_loss(self, prev_images, next_images, warp_grid):
-        sample = grid_sample_onehot if self.use_mxu_warp else grid_sample
-        warped = sample(next_images, warp_grid.transpose(0, 2, 3, 1))
+        nhwc_grid = warp_grid.transpose(0, 2, 3, 1)
+        if self.use_mxu_warp:
+            # positional nondiff args (custom_vjp): chunk, use_pallas,
+            # bf16x2
+            warped = grid_sample_onehot(next_images, nhwc_grid,
+                                        8192, None, self.bf16x2)
+        else:
+            warped = grid_sample(next_images, nhwc_grid)
         return charbonnier_loss(warped - prev_images)
 
     def smoothness_loss(self, flow):
@@ -127,9 +135,11 @@ class MultiScaleLoss:
     original.  Replicated here for training-dynamics parity.
     """
 
-    def __init__(self, shapes: Sequence[Tuple[int, int]]):
+    def __init__(self, shapes: Sequence[Tuple[int, int]],
+                 bf16x2: bool = False):
         self.shapes = [tuple(map(int, s)) for s in shapes]
-        self.losses = [SingleScaleLoss(s) for s in self.shapes]
+        self.losses = [SingleScaleLoss(s, bf16x2=bf16x2)
+                       for s in self.shapes]
 
     def __call__(self, flows, flow_ts, flow_sample_idx, images, timestamps,
                  sample_idx):
@@ -164,7 +174,8 @@ def combined_loss(evaluator,
     return loss, terms
 
 
-def init_losses(shape, batch_size, apply_fn, params, sequence_length=1):
+def init_losses(shape, batch_size, apply_fn, params, sequence_length=1,
+                loss_precision='highest'):
     """Discover the model's output scales and build a MultiScaleLoss.
 
     TPU analogue of the reference's empty-events probe forward
@@ -177,6 +188,9 @@ def init_losses(shape, batch_size, apply_fn, params, sequence_length=1):
         apply_fn: ``(params, events, timestamps, sample_idx, imsize) -> out``.
         params: model parameters (only shapes matter).
         sequence_length: timestamps per sample - 1.
+        loss_precision: 'highest' (default, keeps the 5e-6 goldens) or
+            'bf16x2' (2-pass hi+lo split in the warp contraction,
+            ~2^-16 relative — the opt-in speed recipe, --loss-precision).
     """
     from ..data.schema import EventBuffer
 
@@ -197,4 +211,5 @@ def init_losses(shape, batch_size, apply_fn, params, sequence_length=1):
         lambda p, e, t, s: apply_fn(p, e, t, s, imsize),
         params, events, timestamps, sample_idx)
     out_shapes = tuple(tuple(flow.shape[2:]) for flow in out[0])
-    return MultiScaleLoss(out_shapes)
+    assert loss_precision in ('highest', 'bf16x2'), loss_precision
+    return MultiScaleLoss(out_shapes, bf16x2=loss_precision == 'bf16x2')

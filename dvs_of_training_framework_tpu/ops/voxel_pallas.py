@@ -266,7 +266,8 @@ def _fwd(x, y, plane, weights, valid,
     )(offsets, packed)
     # channel-major [P, H, C, W] -> [P, H, W, C]
     out = out.reshape(num_planes, height, C, width).transpose(0, 1, 3, 2)
-    residuals = (x, y, plane, valid)
+    # dtype carrier: residual pytrees may only hold arrays
+    residuals = (x, y, plane, valid, jnp.zeros((0,), weights.dtype))
     return out, residuals
 
 
@@ -277,7 +278,7 @@ def _fwd_vjp(x, y, plane, weights, valid,
 
 
 def _bwd_vjp(num_planes, height, width, chunk, interpret, residuals, g):
-    x, y, plane, valid = residuals
+    x, y, plane, valid, w_proto = residuals
     E = x.shape[0]
     C = g.shape[-1]
     packed, offsets, _, Ep = _pack_events(
@@ -315,8 +316,9 @@ def _bwd_vjp(num_planes, height, width, chunk, interpret, residuals, g):
     # where() not multiply: rows past the last written chunk are
     # uninitialised (NaN) and 0*NaN would propagate
     dw = jnp.where(valid[:, None], dw[:E, :C], 0.0)
-    # x, y, plane, weights, valid
-    return None, None, None, dw, None
+    # x, y, plane, weights, valid — the cotangent must match the primal
+    # weights dtype (bf16 model dtype feeds bf16 weights in)
+    return None, None, None, dw.astype(w_proto.dtype), None
 
 
 voxelize_pallas.defvjp(_fwd_vjp, _bwd_vjp)

@@ -37,7 +37,7 @@ def _kernel(img_ref,        # VMEM [N, H, W] f32
             iy_ref,         # VMEM [N, chunk] f32 (unnormalized y)
             ix_ref,         # VMEM [N, chunk] f32
             out_ref,        # VMEM [4*N, chunk] f32: corner-major rows
-            *, height, width, chunk, batch):
+            *, height, width, chunk, batch, bf16x2):
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (height, 2 * chunk), 0)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (width, 2 * chunk), 0)
     for n in range(batch):
@@ -51,10 +51,26 @@ def _kernel(img_ref,        # VMEM [N, H, W] f32
         # points for y0) ++ (chunk points for y0+1); ONE MXU contraction
         # extracts BOTH corner rows of every point
         y_two = jnp.concatenate([y0, y0 + 1], axis=1)    # [1, 2c]
-        rowsT = (row_iota == y_two).astype(jnp.float32)  # [H, 2c]
-        vals = jax.lax.dot_general(
-            img, rowsT, dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)         # [W, 2c]
+        if bf16x2:
+            # one-hots are exact in bf16; the image rides a hi+lo split
+            # (relative error ~2^-16): two bf16 MXU passes replace the
+            # 6-pass fp32 HIGHEST contraction — the bf16x2 loss recipe
+            # (PERFORMANCE.md round 3), opt-in via --loss-precision
+            rowsT = (row_iota == y_two).astype(jnp.bfloat16)
+            img_hi = img.astype(jnp.bfloat16)
+            img_lo = (img - img_hi.astype(jnp.float32)) \
+                .astype(jnp.bfloat16)
+            vals = jnp.zeros((width, 2 * chunk), jnp.float32)
+            for part in (img_hi, img_lo):
+                vals += jax.lax.dot_general(
+                    part, rowsT,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [W, 2c]
+        else:
+            rowsT = (row_iota == y_two).astype(jnp.float32)  # [H, 2c]
+            vals = jax.lax.dot_general(
+                img, rowsT, dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)     # [W, 2c]
 
         x_two = jnp.concatenate([x0, x0], axis=1)        # [1, 2c]
         m0 = (col_iota == x_two).astype(jnp.float32)     # [W, 2c]
@@ -69,8 +85,9 @@ def _kernel(img_ref,        # VMEM [N, H, W] f32
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('chunk', 'interpret'))
-def corner_values_pallas(images, iy, ix, chunk=512, interpret=False):
+                   static_argnames=('chunk', 'interpret', 'bf16x2'))
+def corner_values_pallas(images, iy, ix, chunk=512, interpret=False,
+                         bf16x2=False):
     """All four bilinear corner values on the MXU, one kernel launch.
 
     Args:
@@ -78,6 +95,8 @@ def corner_values_pallas(images, iy, ix, chunk=512, interpret=False):
             photometric-loss case).
         iy, ix: ``[N, P]`` float32 unnormalized sampling coordinates.
         chunk: points per grid step (lane-axis length; multiple of 128).
+        bf16x2: contract with a hi+lo bf16 image split (2 MXU passes,
+            ~2^-16 relative error) instead of fp32 HIGHEST (6 passes).
 
     Returns:
         V: ``[2, 2, N, P, 1]`` corner values (a = y-corner, b = x-corner),
@@ -97,7 +116,7 @@ def corner_values_pallas(images, iy, ix, chunk=512, interpret=False):
     n_chunks = Pp // chunk
 
     kernel = functools.partial(_kernel, height=H, width=W, chunk=chunk,
-                               batch=N)
+                               batch=N, bf16x2=bf16x2)
     out = pl.pallas_call(
         kernel,
         grid=(n_chunks,),

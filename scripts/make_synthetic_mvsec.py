@@ -56,11 +56,16 @@ def make_scene(rng, shape=(720, 1024), num_blobs=260):
     return img
 
 
-def camera_path(t, scene_shape, seed_phase=0.0):
-    """Integer camera-window position at time(s) t (sinusoidal drift)."""
+def camera_path(t, scene_shape, seed_phase=0.0, speed=1.0):
+    """Integer camera-window position at time(s) t (sinusoidal drift).
+
+    ``speed`` scales the drift amplitudes: 1.0 gives ~9 px/frame peak
+    motion (the hard round-2 setting); ~0.35 gives MVSEC-outdoor-like
+    1-5 px/frame (the round-3 accuracy protocol, VERDICT item 5).
+    """
     cy = (scene_shape[0] - H) / 2
     cx = (scene_shape[1] - W) / 2
-    ay, ax_ = cy - 8, cx - 8
+    ay, ax_ = (cy - 8) * speed, (cx - 8) * speed
     py = cy + ay * np.sin(2 * np.pi * t / 7.3 + seed_phase + 0.4)
     px = cx + ax_ * np.sin(2 * np.pi * t / 11.7 + seed_phase)
     return np.rint(py).astype(int), np.rint(px).astype(int)
@@ -70,7 +75,7 @@ def window(scene, py, px):
     return scene[py:py + H, px:px + W]
 
 
-def simulate_sequence(rng, duration, seed_phase):
+def simulate_sequence(rng, duration, seed_phase, speed=1.0):
     """Simulate one sequence; returns (events, frames, frame_ts, gt)."""
     scene = make_scene(rng)
     log_scene = np.log1p(scene)
@@ -79,7 +84,8 @@ def simulate_sequence(rng, duration, seed_phase):
 
     fine_t = EPOCH_BASE + np.arange((n_frames - 1) * FINE_STEPS + 1) \
         * (FRAME_DT / FINE_STEPS)
-    pys, pxs = camera_path(fine_t - EPOCH_BASE, scene.shape, seed_phase)
+    pys, pxs = camera_path(fine_t - EPOCH_BASE, scene.shape, seed_phase,
+                           speed)
 
     frames = np.stack([
         window(scene, pys[i * FINE_STEPS], pxs[i * FINE_STEPS])
@@ -155,6 +161,9 @@ def main():
     ap.add_argument('--train-secs', type=float, default=60.0)
     ap.add_argument('--eval-secs', type=float, default=12.0)
     ap.add_argument('--seed', type=int, default=7)
+    ap.add_argument('--speed', type=float, default=1.0,
+                    help='camera drift amplitude scale (~0.35 gives '
+                         'MVSEC-like 1-5 px/frame motion)')
     args = ap.parse_args()
 
     ds_name = 'synth'
@@ -163,7 +172,8 @@ def main():
     names, starts = [], []
     for seq_name, secs, phase in specs:
         rng = np.random.default_rng(args.seed + len(names))
-        events, frames, frame_ts, gt = simulate_sequence(rng, secs, phase)
+        events, frames, frame_ts, gt = simulate_sequence(rng, secs, phase,
+                                                          args.speed)
         write_sequence(args.out_root, ds_name, seq_name, events, frames,
                        frame_ts, gt)
         names.append(seq_name)

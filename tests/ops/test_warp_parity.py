@@ -174,3 +174,21 @@ def test_pallas_corner_kernel_matches(seed):
     v_pal, g_pal = run('interpret')
     np.testing.assert_array_equal(v_pal, v_ref)
     np.testing.assert_array_equal(g_pal, g_ref)
+
+
+def test_pallas_bf16x2_close_to_fp32():
+    """The bf16x2 hi+lo split (2 MXU passes) tracks the fp32 corner
+    values to ~2^-16 relative — the documented bound of the opt-in
+    --loss-precision bf16x2 recipe."""
+    from dvs_of_training_framework_tpu.ops.warp import grid_sample_onehot
+    rng = np.random.default_rng(7)
+    N, C, H, W = 2, 1, 16, 24
+    images = rng.uniform(0, 255, size=(N, C, H, W)).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, size=(N, 9, 11, 2)).astype(np.float32)
+    ref = np.asarray(grid_sample_onehot(jnp.asarray(images),
+                                        jnp.asarray(grid), 64,
+                                        'interpret', False))
+    fast = np.asarray(grid_sample_onehot(jnp.asarray(images),
+                                         jnp.asarray(grid), 64,
+                                         'interpret', True))
+    np.testing.assert_allclose(fast, ref, rtol=0, atol=255 * 2 ** -15)

@@ -167,7 +167,8 @@ def main(argv=None):
         args.shape, args.bs,
         lambda p, e, t, s, i: model.apply({'params': p}, e, t, s, i),
         params,
-        sequence_length=args.max_sequence_length)
+        sequence_length=args.max_sequence_length,
+        loss_precision=getattr(args, 'loss_precision', 'highest'))
     tags = shapes2tags(evaluator.shapes)
 
     if is_main:
