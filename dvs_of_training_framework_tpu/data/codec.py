@@ -178,7 +178,11 @@ def encode_batch(events: Batch_t,
     element_shift = cumsum_with_prefix(
         result['elements_per_sample'].astype(np.int64), np.int64)
     flat_element = e + element_shift[s]
-    total_elements = int(flat_element[-1]) + 1 if flat_element.size else 0
+    # the true element count — NOT the last event's element index + 1:
+    # trailing EMPTY elements (a near-still window after cropping) carry
+    # no events and must still contribute a zero count row, or decoding
+    # misaligns every element after them
+    total_elements = int(element_shift[-1])
 
     events_per_element = np.zeros(total_elements, dtype=np.int64)
     np.add.at(events_per_element, flat_element,

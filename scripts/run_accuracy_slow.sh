@@ -26,7 +26,7 @@ run_once() {
         --checkpointing_interval 2000 --permanent_interval 10000 \
         --num_checkpoints 3 \
         --skip-validation \
-        --allow-arguments-change \
+        --allow-arguments-change --allow-obsolete-code \
         "$@" &
     TRAIN_PID=$!
     while kill -0 "$TRAIN_PID" 2>/dev/null; do

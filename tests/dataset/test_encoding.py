@@ -224,3 +224,32 @@ def test_pad_events_overflow():
     assert (np.asarray(buf.sample_index)[5:] == 2).all()
     assert (np.asarray(buf.valid_mask())
             == np.array([1, 1, 1, 1, 1, 0, 0, 0], dtype=bool)).all()
+
+
+def test_encode_trailing_empty_element():
+    """A batch whose FINAL element holds zero events must still encode a
+    zero count row for it (a near-still window after cropping produced
+    shards whose events_per_element was one row short, breaking every
+    later subrange read — round-3 accuracy-run crash)."""
+    events = {'x': np.array([3, 4]),
+              'y': np.array([5, 6]),
+              'timestamp': np.array([0.01, 0.02], np.float32),
+              'polarity': np.array([1.0, -1.0]),
+              'element_index': np.array([0, 0]),
+              'sample_index': np.array([0, 0])}
+    timestamps = np.array([0., .04, .08, 0., .04, .08], np.float32)
+    sample_idx = np.array([0, 0, 0, 1, 1, 1])
+    images = np.zeros((6, 1, 4, 4), np.uint8)
+    enc = codec.encode_batch(events, timestamps, sample_idx, images,
+                             None, size=2)
+    # 2 samples x 2 elements; sample 1 (and element 1 of sample 0) empty
+    np.testing.assert_array_equal(enc['events']['events_per_element'],
+                                  [2, 0, 0, 0])
+    dec = codec.decode_batch(enc)
+    np.testing.assert_array_equal(dec['events']['sample_index'], [0, 0])
+    np.testing.assert_array_equal(dec['events']['element_index'], [0, 0])
+    # subrange selection of the empty sample works
+    ranges = codec.select_encoded_ranges(
+        enc['events']['events_per_element'], enc['elements_per_sample'],
+        1, 2)
+    assert ranges['events']['x'] == {'begin': 2, 'end': 2}
