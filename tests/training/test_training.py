@@ -192,3 +192,26 @@ def test_overfit_single_batch_reduces_loss():
         state, (loss, _) = train_step(state, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.98, losses
+
+
+def test_host_lr_readout_matches_jnp_schedule():
+    """current_learning_rates must equal the jitted jnp schedule exactly:
+    the host closed form replaced eager device evaluation (each boundary
+    paid ~10 device RPCs through a tunnelled TPU, capping the as-trained
+    CLI rate) and the logged values must not drift."""
+    from types import SimpleNamespace
+
+    from dvs_of_training_framework_tpu.training.optimizers import (
+        current_learning_rates, make_lr_schedule)
+
+    args = SimpleNamespace(lr=1e-3, half_life=20000, num_warmup_steps=200,
+                           training_steps=40000, rs=0.5)
+    pred = make_lr_schedule(args.lr, args.num_warmup_steps, args.half_life)
+    repr_s = make_lr_schedule(args.lr, args.num_warmup_steps,
+                              args.half_life, delay_steps=20000)
+    for step in [0, 1, 199, 200, 201, 1000, 19999, 20000, 20001,
+                 39999, 123456]:
+        got_repr, got_pred = current_learning_rates(args, step)
+        assert got_pred == pytest.approx(float(pred(step)), rel=1e-6, abs=0)
+        assert got_repr == pytest.approx(float(repr_s(step)), rel=1e-6,
+                                         abs=1e-30)
