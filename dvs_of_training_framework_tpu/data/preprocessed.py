@@ -31,6 +31,45 @@ def _shard_sample_count(shard_path):
     return count
 
 
+def max_batch_events(path, batch_size: int) -> int:
+    """Largest event count a batch of ``batch_size`` consecutive samples
+    can reach, over every stream alignment including the epoch wrap.
+
+    Drives ``--event-capacity auto``: the on-device event buffer must
+    admit the worst batch the stream can serve and nothing more — the
+    2^18 default pads typical DVS batches 2-3x, costing upload bytes and
+    voxelizer work proportionally (PERFORMANCE.md round 3).  Alignment
+    matters: ``set_index`` can resume the stream at any sample, so the
+    bound covers all sliding windows, not just epoch-aligned batches.
+    """
+    files = sorted(Path(path).glob('*.hdf5'), key=lambda p: int(p.stem))
+    if not files:
+        raise FileNotFoundError(
+            f'No preprocessed dataset at {path} (no .hdf5 files)')
+    counts = []
+    for f in files:
+        with h5py.File(f, 'r') as shard:
+            if 'events' not in shard:
+                raise ValueError(
+                    'auto event capacity requires raw event shards; '
+                    f'{f} holds quantized (dense) samples')
+            spans = np.asarray(shard['elements_per_sample'], np.int64)
+            per_element = np.asarray(
+                shard['events']['events_per_element'], np.int64)
+            # per-sample events via prefix sums (robust to empty samples,
+            # unlike np.add.reduceat with repeated offsets)
+            csum = np.concatenate([[0], np.cumsum(per_element)])
+            ends = np.cumsum(spans)
+            counts.append(csum[ends] - csum[ends - spans])
+    per_sample = np.concatenate(counts)
+    if batch_size >= per_sample.size:
+        return int(per_sample.sum())
+    # sliding-window sums over the wrapped stream
+    wrapped = np.concatenate([per_sample, per_sample[:batch_size - 1]])
+    csum = np.concatenate([[0], np.cumsum(wrapped)])
+    return int((csum[batch_size:] - csum[:-batch_size]).max())
+
+
 class PreprocessedDataloader:
     """Iterates decoded batches out of encoded shards.
 

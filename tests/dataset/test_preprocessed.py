@@ -117,3 +117,39 @@ def test_train_step_on_preprocessed_shard(tmp_path):
                            event_capacity=2048)
     assert int(state.step) == 1
     assert samples == 2
+
+
+def test_max_batch_events(tmp_path):
+    """Auto capacity = worst sliding window (any alignment + epoch wrap)."""
+    from dvs_of_training_framework_tpu.data.preprocessed import \
+        max_batch_events
+    out, dataset = write_shards(tmp_path)
+    per_sample = []
+    for i in range(6):
+        per_sample.append(dataset[i][0]['x'].shape[0])
+    wrapped = per_sample + per_sample[:1]
+    expect = max(sum(wrapped[i:i + 2]) for i in range(6))
+    assert max_batch_events(out, 2) == expect
+    # batch >= dataset: the whole stream
+    assert max_batch_events(out, 16) == sum(per_sample)
+
+
+def test_resolve_event_capacity_auto(tmp_path):
+    from types import SimpleNamespace
+
+    from dvs_of_training_framework_tpu.data.preprocessed import \
+        max_batch_events
+    from dvs_of_training_framework_tpu.utils.options import \
+        resolve_event_capacity
+    out, _ = write_shards(tmp_path)
+    args = SimpleNamespace(event_capacity='auto', mbs=2,
+                           preprocessed_dataset_path=out,
+                           max_events_per_batch=10 ** 9)
+    resolve_event_capacity(args)
+    worst = max_batch_events(out, 2)
+    assert args.event_capacity % 1024 == 0
+    assert worst <= args.event_capacity < worst + 1024
+    # concrete values pass through untouched
+    args2 = SimpleNamespace(event_capacity=4096)
+    resolve_event_capacity(args2)
+    assert args2.event_capacity == 4096

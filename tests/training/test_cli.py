@@ -115,3 +115,26 @@ def test_train_cli_guards_argument_change(tmp_path, mvsec_layout):
     # explicit override allows it
     run_cli(tmp_path, mvsec_layout,
             extra=['-lr', '0.9', '--allow-arguments-change'])
+
+
+def test_train_cli_auto_event_capacity(tmp_path, mvsec_layout):
+    """--event-capacity auto: sized from the preprocessed stream, recorded
+    as a concrete value in provenance, and stable across a resume that
+    passes 'auto' again."""
+    import yaml
+
+    from tests.dataset.test_preprocessed import write_shards
+    shards, _ = write_shards(tmp_path, samples_per_file=4, num_files=2)
+    extra = ['--preprocessed-dataset-path', str(shards),
+             '--event-capacity', 'auto']
+    model_dir = run_cli(tmp_path, mvsec_layout, extra=extra)
+    from dvs_of_training_framework_tpu.data.preprocessed import \
+        max_batch_events
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    assert 2 in Serializer(model_dir).list_known_steps()
+    recorded = yaml.safe_load((model_dir / 'parameters').read_text())
+    cap = recorded['arguments']['event_capacity']
+    worst = max_batch_events(shards, 2)
+    assert isinstance(cap, int) and worst <= cap < worst + 1024
+    # resume with 'auto' resolves to the same value: provenance gate holds
+    run_cli(tmp_path, mvsec_layout, extra=extra)

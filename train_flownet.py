@@ -36,6 +36,12 @@ def parse_args(args, is_write=True):
     args.model.mkdir(exist_ok=True, parents=True)
     args.log_path = args.model / 'log'
 
+    # resolve --event-capacity auto before provenance is collected so the
+    # recorded (and resume-checked) value is the concrete buffer size
+    from dvs_of_training_framework_tpu.utils.options import \
+        resolve_event_capacity
+    resolve_event_capacity(args)
+
     execution_info = collect_execution_info(args)
     check_execution_info(args.model, execution_info, args)
     if is_write:
