@@ -27,13 +27,22 @@ import numpy as np
 import optax
 
 
-def make_lr_schedule(lr, num_warmup_steps, half_life, delay_steps=0):
+def make_lr_schedule(lr, num_warmup_steps, half_life, delay_steps=0,
+                     rewarmup_steps=0):
     """Warmup + exponential half-life decay, optionally delayed to 0.
 
     Matches reference pred_scheduler/repr_scheduler
     (train_flownet.py:91-99): ``step/warmup`` ramp, then
     ``2 ** (-(step - warmup) / half_life)``; the delayed variant returns 0
     until ``delay_steps``.
+
+    ``rewarmup_steps`` (beyond reference parity, off by default) ramps a
+    delayed schedule linearly from 0 over that many steps once it
+    unfreezes.  Motivation: with the reference schedule the
+    representation group jumps straight to the shared LR when it
+    unfreezes, which measurably collapses eval accuracy to zero-flow
+    quality before the joint system re-converges (ACCURACY.md round 3,
+    the 10k->20k trajectory).
     """
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -45,6 +54,10 @@ def make_lr_schedule(lr, num_warmup_steps, half_life, delay_steps=0):
         value = jnp.where(step < num_warmup_steps, warm, decay) * lr
         if delay_steps > 0:
             value = jnp.where(step > delay_steps, value, 0.0)
+            if rewarmup_steps > 0:
+                ramp = jnp.clip((step - delay_steps) / rewarmup_steps,
+                                0.0, 1.0)
+                value = value * ramp
         return value
     return schedule
 
@@ -178,8 +191,10 @@ def construct_optimizer(args, params) -> optax.GradientTransformation:
     if not has_split_params(params):
         return _base_transform(args.optimizer, args.wdw, pred_schedule)
 
-    repr_schedule = make_lr_schedule(args.lr, warmup, args.half_life,
-                                     delay_steps=representation_start)
+    repr_schedule = make_lr_schedule(
+        args.lr, warmup, args.half_life,
+        delay_steps=representation_start,
+        rewarmup_steps=getattr(args, 'representation_warmup_steps', 0))
     label_fn = (lambda tree: {
         k: ('representation' if k == 'quantization_layer' else 'predictor')
         for k in tree})
@@ -192,7 +207,7 @@ def construct_optimizer(args, params) -> optax.GradientTransformation:
 
 
 def _schedule_value_host(lr, num_warmup_steps, half_life, step,
-                         delay_steps=0):
+                         delay_steps=0, rewarmup_steps=0):
     """Closed-form host evaluation of ``make_lr_schedule`` (NumPy f32).
 
     The train loop logs learning rates at every optimizer boundary;
@@ -210,13 +225,21 @@ def _schedule_value_host(lr, num_warmup_steps, half_life, step,
         value = np.exp2(np.float32(
             -(step_f - np.float32(num_warmup_steps))
             / np.float32(half_life)))
-    return float(np.float32(value) * np.float32(lr))
+    value = np.float32(value) * np.float32(lr)
+    if delay_steps > 0 and rewarmup_steps > 0:
+        ramp = np.clip((step_f - np.float32(delay_steps))
+                       / np.float32(rewarmup_steps),
+                       np.float32(0.0), np.float32(1.0))
+        value = value * np.float32(ramp)
+    return float(value)
 
 
 def current_learning_rates(args, step: int):
     """Host-side LR readout for logging (General/learning rate/{i})."""
     warmup = getattr(args, 'num_warmup_steps', 0)
     rs_steps = int(getattr(args, 'training_steps', 0) * getattr(args, 'rs', 0))
+    rewarm = getattr(args, 'representation_warmup_steps', 0)
     return [_schedule_value_host(args.lr, warmup, args.half_life, step,
-                                 delay_steps=rs_steps),
+                                 delay_steps=rs_steps,
+                                 rewarmup_steps=rewarm),
             _schedule_value_host(args.lr, warmup, args.half_life, step)]

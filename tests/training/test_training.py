@@ -215,3 +215,20 @@ def test_host_lr_readout_matches_jnp_schedule():
         assert got_pred == pytest.approx(float(pred(step)), rel=1e-6, abs=0)
         assert got_repr == pytest.approx(float(repr_s(step)), rel=1e-6,
                                          abs=1e-30)
+
+    # opt-in representation re-warmup: ramp 0->1 over the first N steps
+    # after the group unfreezes, host readout == jnp schedule
+    args.representation_warmup_steps = 1000
+    ramped = make_lr_schedule(args.lr, args.num_warmup_steps,
+                              args.half_life, delay_steps=20000,
+                              rewarmup_steps=1000)
+    for step in [19999, 20000, 20001, 20250, 20500, 20999, 21000, 21001,
+                 39999]:
+        got_repr, _ = current_learning_rates(args, step)
+        assert got_repr == pytest.approx(float(ramped(step)), rel=1e-6,
+                                         abs=1e-30)
+    # midpoint of the ramp is half the undelayed-with-delay schedule
+    assert float(ramped(20500)) == pytest.approx(
+        0.5 * float(repr_s(20500)), rel=1e-5)
+    assert float(ramped(21000)) == pytest.approx(float(repr_s(21000)),
+                                                 rel=1e-6)
