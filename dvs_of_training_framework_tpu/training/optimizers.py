@@ -38,11 +38,9 @@ def make_lr_schedule(lr, num_warmup_steps, half_life, delay_steps=0,
 
     ``rewarmup_steps`` (beyond reference parity, off by default) ramps a
     delayed schedule linearly from 0 over that many steps once it
-    unfreezes.  Motivation: with the reference schedule the
-    representation group jumps straight to the shared LR when it
-    unfreezes, which measurably collapses eval accuracy to zero-flow
-    quality before the joint system re-converges (ACCURACY.md round 3,
-    the 10k->20k trajectory).
+    unfreezes, instead of the reference's jump straight to the shared
+    (already-decayed) LR — a discontinuity in the effective objective
+    for the converged predictor.
     """
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -187,9 +185,21 @@ def construct_optimizer(args, params) -> optax.GradientTransformation:
                                * getattr(args, 'rs', 0))
     warmup = getattr(args, 'num_warmup_steps', 0)
 
+    def with_clip(tx):
+        # opt-in global-norm gradient clipping (reference has none).
+        # Motivation: the round-3 fp32 accuracy run diverged at step
+        # ~16.7k — a few giant-gradient steps (smoothness term spiking
+        # 4000x) knocked a 90%-good model into a degenerate basin it
+        # took 20k steps to partially climb out of (ACCURACY.md).
+        clip = float(getattr(args, 'grad_clip_norm', 0.0) or 0.0)
+        if clip > 0.0:
+            return optax.chain(optax.clip_by_global_norm(clip), tx)
+        return tx
+
     pred_schedule = make_lr_schedule(args.lr, warmup, args.half_life)
     if not has_split_params(params):
-        return _base_transform(args.optimizer, args.wdw, pred_schedule)
+        return with_clip(_base_transform(args.optimizer, args.wdw,
+                                         pred_schedule))
 
     repr_schedule = make_lr_schedule(
         args.lr, warmup, args.half_life,
@@ -198,12 +208,12 @@ def construct_optimizer(args, params) -> optax.GradientTransformation:
     label_fn = (lambda tree: {
         k: ('representation' if k == 'quantization_layer' else 'predictor')
         for k in tree})
-    return optax.multi_transform(
+    return with_clip(optax.multi_transform(
         {'representation': _base_transform(args.optimizer, args.wdw,
                                            repr_schedule),
          'predictor': _base_transform(args.optimizer, args.wdw,
                                       pred_schedule)},
-        label_fn)
+        label_fn))
 
 
 def _schedule_value_host(lr, num_warmup_steps, half_life, step,

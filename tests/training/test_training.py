@@ -232,3 +232,45 @@ def test_host_lr_readout_matches_jnp_schedule():
         0.5 * float(repr_s(20500)), rel=1e-5)
     assert float(ramped(21000)) == pytest.approx(float(repr_s(21000)),
                                                  rel=1e-6)
+
+
+def test_grad_clip_norm_bounds_updates():
+    """--grad-clip-norm caps the global gradient norm entering the
+    optimizer; a 1000x loss-spike batch (ACCURACY.md round 3) then moves
+    the params by at most ~lr instead of collapsing them."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from dvs_of_training_framework_tpu.training.optimizers import \
+        construct_optimizer
+
+    params = {'quantization_layer': {'w': jnp.zeros((4, 4))},
+              'predictor': {'w': jnp.zeros((4, 4))}}
+    giant = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 1e6), params)
+    base = SimpleNamespace(optimizer='ADAM', lr=1e-3, wdw=0.0,
+                           half_life=20000, num_warmup_steps=0,
+                           training_steps=1000, rs=0.0)
+
+    def one_update(clip):
+        args = SimpleNamespace(**vars(base), grad_clip_norm=clip)
+        tx = construct_optimizer(args, params)
+        state = tx.init(params)
+        updates, _ = tx.update(giant, state, params)
+        return jnp.sqrt(sum(jnp.sum(u ** 2) for u in
+                            jax.tree_util.tree_leaves(updates)))
+
+    clipped = float(one_update(1.0))
+    unclipped = float(one_update(0.0))
+    # Adam normalises magnitudes, so compare the raw clipped grads too:
+    # the clip transform alone must scale the global norm to 1
+    import optax
+    cl = optax.clip_by_global_norm(1.0)
+    scaled, _ = cl.update(giant, cl.init(params), params)
+    norm = jnp.sqrt(sum(jnp.sum(u ** 2) for u in
+                        jax.tree_util.tree_leaves(scaled)))
+    assert float(norm) == pytest.approx(1.0, rel=1e-5)
+    # and the full chain still produces finite, bounded updates
+    assert clipped <= unclipped * 1.01
+    assert jnp.isfinite(clipped)
