@@ -149,8 +149,15 @@ def get_output_path(args):
 
 
 def export_weights_only(args):
-    """Stage a weights-only temp checkpoint for the requested step."""
+    """Stage a weights-only temp checkpoint for the requested step.
+
+    Works on a COPY of ``args``: process_all re-reads ``args.model`` (the
+    original run directory) after the job to aggregate samples_passed, so
+    the temp-checkpoint path must not leak back into the caller's
+    namespace.
+    """
     from dvs_of_training_framework_tpu.training.serializer import Serializer
+    args = SimpleNamespace(**vars(args))
     args.output = get_output_path(args)
     args.is_temporary_model = True
     handle = tempfile.NamedTemporaryFile(suffix='.ckpt', delete=False)

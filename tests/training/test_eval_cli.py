@@ -83,6 +83,65 @@ def test_perform_single_test(raw_sequence, tmp_path):
     assert 0.9 < mpAEE <= 1.0
 
 
+def test_process_all_aggregates_tb(raw_sequence, tmp_path, monkeypatch):
+    """process_all evaluates every checkpoint AND writes the TB summary.
+
+    Regression: export_weights_only used to overwrite args.model on the
+    shared per-step namespace with the (deleted-after-use) temp
+    checkpoint path, so the post-evaluation samples_passed aggregation
+    crashed with FileNotFoundError after all pickles were written.
+    """
+    import test as test_cli
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+
+    ds_dir, t0 = raw_sequence
+    root = tmp_path / 'root'
+    (root / 'raw').mkdir(parents=True)
+    (root / 'raw' / 'mini').symlink_to(ds_dir)
+    (root / 'info').mkdir()
+    with h5py.File(root / 'info' / 'mini.hdf5', 'w') as f:
+        f.create_dataset('set_name', data=np.array([b'mini_seq1']))
+        f.create_dataset('start_time', data=np.array([t0]))
+    cfg_path = tmp_path / 'cfg.yml'
+    cfg_path.write_text(
+        'mini:\n'
+        '  mini_seq1:\n'
+        '    step: [1]\n'
+        '    start: 0.2\n'
+        '    stop: 1.0\n'
+        '    test_shape: [48, 48]\n'
+        '    crop_type: central\n'
+        '    is_car: False\n')
+
+    model_dir = tmp_path / 'run'
+    model_dir.mkdir()
+    ser = Serializer(model_dir)
+    params = {'flow_bias': np.zeros(2, np.float32)}
+    for step in (1, 2):
+        ser.checkpoint_model(params, {}, global_step=step,
+                             samples_passed=step * 4)
+    ser.wait()
+
+    monkeypatch.setenv('DVS_DATA_ROOT', str(root))
+    out = tmp_path / 'out'
+    args = SimpleNamespace(model=model_dir, output=out,
+                           flownet_path=REPO / 'DummyFlowNet',
+                           test_config=cfg_path, tests_per_device=1,
+                           bs=4, mish=False,
+                           prefix_length=0, suffix_length=0,
+                           max_sequence_length=1,
+                           dynamic_sample_length=False,
+                           event_representation_depth=9,
+                           eval_batch_windows=2)
+    test_cli.process_all(args)
+
+    assert (out / 'step_1.pkl').is_file()
+    assert (out / 'step_2.pkl').is_file()
+    # the TB aggregation ran: a summary file exists and the original
+    # namespaces still point at the run directory, not a temp checkpoint
+    assert any((out / 'log').iterdir())
+
+
 def test_device_pool_balances():
     import test as test_cli
     import jax
