@@ -35,10 +35,16 @@ BASE = int(os.environ.get('BENCH_BASE', 64))
 IMSIZE = (256, 256)
 WARMUP = int(os.environ.get('BENCH_WARMUP', 3))
 ITERS = int(os.environ.get('BENCH_ITERS', 20))
-DTYPE = os.environ.get('BENCH_DTYPE', 'float32')
 SCATTER = os.environ.get('BENCH_SCATTER', 'auto')
-# 'highest' (golden-exact fp32) | 'bf16x2' (the opt-in loss recipe)
-LOSS_PREC = os.environ.get('BENCH_LOSS_PREC', 'highest')
+# Configurations measured.  'golden' is exact-fp32 (the loss-golden mode
+# the tests pin); 'recipe' is the production bf16 recipe
+# (--precision bfloat16 --loss-precision bf16x2), accuracy-validated by
+# the clipped A/B in ACCURACY.md.  BENCH_MODE=golden|recipe|both.
+MODE = os.environ.get('BENCH_MODE', 'both')
+CONFIGS = {
+    'golden': {'dtype': 'float32', 'loss_prec': 'highest'},
+    'recipe': {'dtype': 'bfloat16', 'loss_prec': 'bf16x2'},
+}
 
 
 _SIM = None  # (events [N,4], frames, frame_ts) from the DVS simulator
@@ -105,7 +111,7 @@ def make_batch(rng, sample_offset=0):
         size=BATCH_SIZE)
 
 
-def measure_tpu():
+def measure_tpu(dtype='float32', loss_prec='highest'):
     from dvs_of_training_framework_tpu.utils.compilation_cache import \
         enable_compilation_cache
     enable_compilation_cache()
@@ -119,7 +125,7 @@ def measure_tpu():
 
     module = load_model_class(REPO / 'EVFlowNet')
     model = module.Model(event_representation_depth=DEPTH,
-                         base_channels=BASE, dtype=DTYPE,
+                         base_channels=BASE, dtype=dtype,
                          scatter_method=SCATTER)
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
@@ -132,7 +138,7 @@ def measure_tpu():
     tx = construct_optimizer(args, params)
     evaluator = MultiScaleLoss(
         [tuple(x // 2 ** i for x in IMSIZE) for i in range(4)][::-1],
-        bf16x2=LOSS_PREC == 'bf16x2')
+        bf16x2=loss_prec == 'bf16x2')
     train_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
                                  accumulation_steps=1, is_raw=True)
     import jax.numpy as jnp
@@ -192,7 +198,12 @@ def measure_tpu():
 
 
 def main():
-    result = measure_tpu()
+    modes = ['golden', 'recipe'] if MODE == 'both' else [MODE]
+    results = {m: measure_tpu(**CONFIGS[m]) for m in modes}
+    # Headline: the production bf16 recipe (accuracy-validated in
+    # ACCURACY.md's clipped A/B); fp32 golden numbers ride in `detail`.
+    head = 'recipe' if 'recipe' in results else modes[0]
+    result = results[head]
     try:
         from scripts.benchmarks.torch_cpu_baseline import \
             get_cached_baseline
@@ -203,14 +214,17 @@ def main():
     except Exception as exc:  # baseline is best-effort
         print(f'# baseline measurement failed: {exc}', file=sys.stderr)
         vs_baseline = None
+    detail = {f'{m}_{k}': round(v, 4)
+              for m in modes for k, v in results[m].items()}
     print(json.dumps({
         'metric': 'event-batches/sec/chip (full train step, bs=8, '
-                  'simulated-DVS clustered events, 256x256, EVFlowNet-64)',
+                  'simulated-DVS clustered events, 256x256, EVFlowNet-64, '
+                  f'{head} config)',
         'value': round(result['batches_per_sec'], 3),
         'unit': 'batches/s',
         'vs_baseline': (round(vs_baseline, 2)
                         if vs_baseline is not None else None),
-        'detail': {k: round(v, 4) for k, v in result.items()},
+        'detail': detail,
     }))
 
 

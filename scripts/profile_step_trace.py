@@ -13,6 +13,7 @@ from collections import defaultdict
 import glob
 import gzip
 import json
+import os
 from pathlib import Path
 import re
 import sys
@@ -40,9 +41,13 @@ def build_step():
         enable_compilation_cache
 
     enable_compilation_cache()
+    # BENCH_MODE selects the profiled configuration (golden fp32 default;
+    # BENCH_MODE=recipe profiles the production bf16 recipe).
+    mode = os.environ.get('BENCH_MODE', 'golden')
+    cfg = bench.CONFIGS['golden' if mode == 'both' else mode]
     module = load_model_class(REPO / 'EVFlowNet')
     model = module.Model(event_representation_depth=bench.DEPTH,
-                         base_channels=bench.BASE, dtype=bench.DTYPE,
+                         base_channels=bench.BASE, dtype=cfg['dtype'],
                          scatter_method=bench.SCATTER)
     rng = np.random.default_rng(0)
     batch = bench.make_batch(rng)
@@ -54,7 +59,8 @@ def build_step():
                            training_steps=1000000, rs=0.5)
     tx = construct_optimizer(args, params)
     evaluator = MultiScaleLoss(
-        [tuple(x // 2 ** i for x in bench.IMSIZE) for i in range(4)][::-1])
+        [tuple(x // 2 ** i for x in bench.IMSIZE) for i in range(4)][::-1],
+        bf16x2=cfg['loss_prec'] == 'bf16x2')
     train_step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
                                  accumulation_steps=1, is_raw=True)
     state = create_train_state(
