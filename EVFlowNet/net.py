@@ -40,6 +40,21 @@ def get_activation(name):
     return {'relu': jax.nn.relu, 'mish': mish}[name]
 
 
+def upsample2x_nearest(x):
+    """2x nearest-neighbour upsample via reshape-broadcast (NHWC).
+
+    Bit-identical to ``jax.image.resize(..., method='nearest')`` at an
+    exact 2x factor (out pixel i reads in pixel i // 2), but lowers to a
+    broadcast whose transpose is a cheap tiled reduce — whereas resize
+    lowers to a gather whose transpose is a scatter-add, the slow
+    irregular-memory path on TPU (pinned by
+    tests/training/test_models.py::test_upsample2x_matches_resize).
+    """
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
 class QuantizationLayer(nn.Module):
     """Learnable event -> voxel-grid representation.
 
@@ -161,16 +176,13 @@ class Predictor(nn.Module):
         flow = None
         dec_channels = (4 * b, 2 * b, b, b // 2)
         for i, ch in enumerate(dec_channels):
-            B, H, W, _ = x.shape
-            x = jax.image.resize(x, (B, H * 2, W * 2, x.shape[-1]),
-                                 method='nearest')
+            x = upsample2x_nearest(x)
             parts = [x]
             skip_idx = 2 - i  # skips at 1/8, 1/4, 1/2 resolution
             if skip_idx >= 0:
                 parts.append(skips[skip_idx])
             if flow is not None:
-                up_flow = jax.image.resize(
-                    flow, (B, H * 2, W * 2, 2), method='nearest') * 2.0
+                up_flow = upsample2x_nearest(flow) * 2.0
                 parts.append(up_flow.astype(self.dtype))
             x = jnp.concatenate(parts, axis=-1)
             x = nn.Conv(ch, (3, 3), dtype=self.dtype, name=f'dec{i}')(x)

@@ -157,3 +157,22 @@ def test_pallas_scatter_method_matches_default():
                               method=pal_model.quantize)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_upsample2x_matches_resize():
+    """The decoder's reshape-broadcast upsample is bit-identical to
+    jax.image.resize(method='nearest') at the exact 2x factor it replaces
+    (resize lowers to gather/scatter on TPU; the broadcast form does not)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'evflownet_net', REPO / 'EVFlowNet' / 'net.py')
+    net = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(net)
+
+    rng = np.random.default_rng(0)
+    for shape in [(2, 16, 16, 8), (1, 5, 7, 3), (3, 32, 32, 2)]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        B, H, W, C = shape
+        ref = jax.image.resize(x, (B, 2 * H, 2 * W, C), method='nearest')
+        got = net.upsample2x_nearest(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
