@@ -123,7 +123,14 @@ def grid_sample_patch(images: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
 # One-hot matmul formulation (MXU; images treated as constants).
 # ---------------------------------------------------------------------------
 
-def _corner_values(images, iy, ix, chunk):
+def _split_bf16(x):
+    """hi+lo bf16 split of a float32 array (relative error ~2^-16)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _corner_values(images, iy, ix, chunk, bf16x2=False):
     """Corner values V_ab[o] = img[y0+a, x0+b] (zero outside the image).
 
     Row extraction runs as batched one-hot matmuls on the MXU (out-of-range
@@ -135,6 +142,9 @@ def _corner_values(images, iy, ix, chunk):
         images: [N, C, H, W] float32.
         iy, ix: [N, P] unnormalized sampling coordinates.
         chunk: chunk length over the P axis (P padded to a multiple).
+        bf16x2: contract hi+lo bf16 splits (2 MXU passes each, one-hots
+            exact, ~2^-16 relative error) instead of fp32 HIGHEST —
+            the same trade as the Pallas kernel's bf16x2 mode.
 
     Returns:
         V: [2, 2, N, P, C]  (a = y-corner, b = x-corner)
@@ -161,12 +171,25 @@ def _corner_values(images, iy, ix, chunk):
         # chunk instead of 6 — kernel launches are a measurable cost of
         # this program, see PERFORMANCE.md)
         y_two = jnp.concatenate([y0c, y0c + 1], axis=1)        # [N, 2c]
-        onehot = (y_two[:, :, None] == row_iota).astype(jnp.float32)
-        rows = jnp.einsum('nph,nchw->npcw', onehot, images,
-                          precision='highest')       # [N, 2c, C, W]
+        if bf16x2:
+            onehot = (y_two[:, :, None] == row_iota).astype(jnp.bfloat16)
+            rows = sum(
+                jnp.einsum('nph,nchw->npcw', onehot, part,
+                           preferred_element_type=jnp.float32)
+                for part in _split_bf16(images))     # [N, 2c, C, W]
+        else:
+            onehot = (y_two[:, :, None] == row_iota).astype(jnp.float32)
+            rows = jnp.einsum('nph,nchw->npcw', onehot, images,
+                              precision='highest')   # [N, 2c, C, W]
 
         def pick_col(x_corner):
             two = jnp.concatenate([x_corner, x_corner], axis=1)
+            if bf16x2:
+                mask = (two[:, :, None] == col_iota).astype(jnp.bfloat16)
+                return sum(
+                    jnp.einsum('npcw,npw->npc', part, mask,
+                               preferred_element_type=jnp.float32)
+                    for part in _split_bf16(rows))   # [N, 2c, C]
             mask = (two[:, :, None] == col_iota).astype(jnp.float32)
             return jnp.einsum('npcw,npw->npc', rows, mask,
                               precision='highest')   # [N, 2c, C]
@@ -221,20 +244,27 @@ def grid_sample_onehot(images, grid, chunk=8192, use_pallas=None,
     where frames are inputs, not parameters.
 
     ``use_pallas``: None = auto (single-channel images on TPU use the
-    one-launch Pallas corner kernel, ops/warp_pallas.py); True/False
-    force it; 'interpret' runs the kernel in interpret mode (CPU tests).
+    one-launch Pallas corner kernel, ops/warp_pallas.py — but only in
+    bf16x2 mode, where it measures faster; at fp32 HIGHEST the einsum
+    path wins, see ``_use_pallas``); True/False force it; 'interpret'
+    runs the kernel in interpret mode (CPU tests).
 
-    ``bf16x2``: the Pallas kernel contracts a hi+lo bf16 image split
-    (2 MXU passes, ~2^-16 relative error) instead of fp32 HIGHEST — the
-    opt-in bf16x2 loss recipe; the fp32 default keeps the 5e-6 goldens.
+    ``bf16x2``: both backends contract hi+lo bf16 splits (2 MXU passes
+    each, ~2^-16 relative error) instead of fp32 HIGHEST — the opt-in
+    bf16x2 loss recipe; the fp32 default keeps the 5e-6 goldens.
     """
     out, _ = _gso_fwd(images, grid, chunk, use_pallas, bf16x2)
     return out
 
 
-def _use_pallas(images, use_pallas):
+def _use_pallas(images, use_pallas, bf16x2=False):
+    # Auto policy, measured on v5e in single-process A/Bs (tunnel rule):
+    # at fp32 HIGHEST the XLA einsum path wins (24.7 vs 26.4 ms/step,
+    # scripts/benchmarks/ab_warp_fp32.py); under the bf16x2 recipe the
+    # one-launch Pallas kernel wins (20.0 vs 21.7 ms/step,
+    # ab_warp_recipe.py) — so auto picks per precision mode.
     if use_pallas is None:
-        return images.shape[1] == 1 and \
+        return bf16x2 and images.shape[1] == 1 and \
             jax.default_backend() not in ('cpu', 'gpu')
     return bool(use_pallas)
 
@@ -244,13 +274,13 @@ def _gso_fwd(images, grid, chunk, use_pallas, bf16x2):
     N, C, H, W = images.shape
     Ho, Wo = grid.shape[1:3]
     iy, ix = _unnormalize(grid.reshape(N, Ho * Wo, 2), H, W)
-    if _use_pallas(images, use_pallas):
+    if _use_pallas(images, use_pallas, bf16x2):
         from .warp_pallas import corner_values_pallas
         V = corner_values_pallas(images, iy, ix,
                                  interpret=use_pallas == 'interpret',
                                  bf16x2=bf16x2)
     else:
-        V = _corner_values(images, iy, ix, chunk)
+        V = _corner_values(images, iy, ix, chunk, bf16x2=bf16x2)
     out = _blend(V, iy, ix)
     out = out.transpose(0, 2, 1).reshape(N, C, Ho, Wo)
     return out, (V, iy, ix, (N, C, H, W, Ho, Wo))

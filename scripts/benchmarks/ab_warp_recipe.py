@@ -1,13 +1,14 @@
 #!/usr/bin/env python3
-"""A/B the fp32 (golden-mode) staged step: Pallas warp corners vs einsum.
+"""A/B the recipe-mode staged step: Pallas warp corners vs bf16x2 einsum.
 
-Round 3 made the one-launch Pallas corner kernel the TPU default for the
-warp's corner extraction (ops/warp.py `_use_pallas`).  At fp32 HIGHEST it
-measured time-neutral in the round-3 pass, but the cross-process spread
-is ±5%, so this script re-measures BOTH variants in ONE process (the
-tunnel latency rule, CLAUDE.md) to decide the fp32 default.
+`ab_warp_fp32.py` showed the XLA einsum corner path beats the Pallas
+kernel by ~1.7 ms/step at fp32 HIGHEST.  This measures the production
+recipe config (bf16 model compute + bf16x2 loss) with both warp
+backends, now that ops/warp.py `_corner_values` supports the same hi+lo
+bf16 split as the kernel.  Both variants run in ONE process (the tunnel
+latency rule, CLAUDE.md).
 
-Usage: python scripts/benchmarks/ab_warp_fp32.py [iters]
+Usage: python scripts/benchmarks/ab_warp_recipe.py [iters]
 """
 import sys
 import time
@@ -38,7 +39,7 @@ def measure(use_pallas, iters):
 
         module = load_model_class(REPO / 'EVFlowNet')
         model = module.Model(event_representation_depth=bench.DEPTH,
-                             base_channels=bench.BASE, dtype='float32',
+                             base_channels=bench.BASE, dtype='bfloat16',
                              scatter_method=bench.SCATTER)
         rng = np.random.default_rng(0)
         batch = bench.make_batch(rng)
@@ -51,7 +52,7 @@ def measure(use_pallas, iters):
         tx = construct_optimizer(args, params)
         evaluator = MultiScaleLoss(
             [tuple(x // 2 ** i for x in bench.IMSIZE)
-             for i in range(4)][::-1])
+             for i in range(4)][::-1], bf16x2=True)
         step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
                                accumulation_steps=1, is_raw=True)
         state = create_train_state(
@@ -75,7 +76,7 @@ def main():
     for name, flag in [('pallas', True), ('einsum', False),
                        ('pallas2', True), ('einsum2', False)]:
         dt, loss = measure(flag, iters)
-        print(f'fp32 warp={name:8s}: {dt * 1e3:7.2f} ms/step '
+        print(f'recipe warp={name:8s}: {dt * 1e3:7.2f} ms/step '
               f'({1 / dt:5.1f} b/s)  loss={loss:.6f}', flush=True)
 
 

@@ -192,3 +192,26 @@ def test_pallas_bf16x2_close_to_fp32():
                                          jnp.asarray(grid), 64,
                                          'interpret', True))
     np.testing.assert_allclose(fast, ref, rtol=0, atol=255 * 2 ** -15)
+
+
+def test_einsum_bf16x2_close_to_fp32():
+    """The XLA einsum corner path honours bf16x2 with the same hi+lo
+    split and error bound as the Pallas kernel (both backends must be
+    interchangeable under --loss-precision bf16x2)."""
+    from dvs_of_training_framework_tpu.ops.warp import grid_sample_onehot
+    rng = np.random.default_rng(11)
+    N, C, H, W = 2, 1, 16, 24
+    images = rng.uniform(0, 255, size=(N, C, H, W)).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, size=(N, 9, 11, 2)).astype(np.float32)
+    ref = np.asarray(grid_sample_onehot(jnp.asarray(images),
+                                        jnp.asarray(grid), 64,
+                                        False, False))
+    fast = np.asarray(grid_sample_onehot(jnp.asarray(images),
+                                         jnp.asarray(grid), 64,
+                                         False, True))
+    np.testing.assert_allclose(fast, ref, rtol=0, atol=255 * 2 ** -15)
+    # multi-chunk scan path too (chunk < P)
+    fast2 = np.asarray(grid_sample_onehot(jnp.asarray(images),
+                                          jnp.asarray(grid), 32,
+                                          False, True))
+    np.testing.assert_allclose(fast2, ref, rtol=0, atol=255 * 2 ** -15)
