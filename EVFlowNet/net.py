@@ -55,6 +55,29 @@ def upsample2x_nearest(x):
     return x.reshape(B, H * 2, W * 2, C)
 
 
+class DenseParams(nn.Module):
+    """Parameter container matching ``nn.Dense``'s tree and init exactly.
+
+    The kernel-MLP needs its raw weight arrays (the Pallas path computes
+    the whole MLP in one kernel, ops/kernel_mlp_pallas.py), so the three
+    Dense layers hold parameters here and the matmuls live in the caller.
+    Names, shapes and initialisers reproduce ``nn.Dense`` bit-for-bit, so
+    existing checkpoints keep loading.
+    """
+    features_in: int
+    features_out: int
+    kernel_init: object = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', self.kernel_init,
+                            (self.features_in, self.features_out),
+                            jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros_init(),
+                          (self.features_out,), jnp.float32)
+        return kernel, bias
+
+
 class QuantizationLayer(nn.Module):
     """Learnable event -> voxel-grid representation.
 
@@ -71,6 +94,11 @@ class QuantizationLayer(nn.Module):
     # 'auto' (pallas on TPU, scatter elsewhere) | 'scatter' | 'matmul'
     # | 'pallas'
     scatter_method: str = 'auto'
+    # per-event MLP backend: 'auto' (= 'xla' everywhere for now: the v1
+    # Pallas kernel measured ~1.7 ms/step SLOWER than XLA on v5e — MXU
+    # latency-bound at 1 point/cycle with a 32-wide hidden axis, see
+    # scripts/benchmarks/ab_kernel_mlp.py), 'xla', 'pallas', 'interpret'
+    kernel_mlp: str = 'auto'
 
     @nn.compact
     def __call__(self, events, timestamps, sample_idx, imsize,
@@ -94,14 +122,34 @@ class QuantizationLayer(nn.Module):
         # --- learnable temporal kernel --------------------------------
         centers = jnp.arange(C, dtype=jnp.float32) / max(C - 1, 1)
         delta = t_norm[:, None] - centers[None, :]            # [E, C]
-        k_in = delta.reshape(-1, 1).astype(self.dtype)
-        h = nn.Dense(self.hidden, name='kernel_hidden1',
-                     dtype=self.dtype)(k_in)
-        h = jnp.tanh(h)
-        h = nn.Dense(self.hidden, name='kernel_hidden2', dtype=self.dtype)(h)
-        h = jnp.tanh(h)
-        k_out = nn.Dense(1, name='kernel_out', dtype=self.dtype,
-                         kernel_init=nn.initializers.normal(1e-2))(h)
+        w1, b1 = DenseParams(1, self.hidden, name='kernel_hidden1')()
+        w2, b2 = DenseParams(self.hidden, self.hidden,
+                             name='kernel_hidden2')()
+        w3, b3 = DenseParams(
+            self.hidden, 1, name='kernel_out',
+            kernel_init=nn.initializers.normal(1e-2))()
+        method = self.kernel_mlp
+        if method == 'auto':
+            method = 'xla'
+        if method in ('pallas', 'interpret'):
+            # one VMEM-resident kernel for the whole MLP: the XLA form's
+            # [E*C, hidden] activations are pure HBM traffic — 4.4 ms of
+            # the 19.9 ms recipe step (scripts/benchmarks/ab_mlp_cost.py)
+            from dvs_of_training_framework_tpu.ops.kernel_mlp_pallas \
+                import kernel_mlp_pallas
+            k_out = kernel_mlp_pallas(delta, w1, b1, w2, b2, w3, b3,
+                                      512, method == 'interpret')
+            k_out = k_out.astype(self.dtype)
+        else:
+            # plain XLA path: identical math/promotion to the previous
+            # nn.Dense stack (the CPU/test path)
+            k_in = delta.reshape(-1, 1).astype(self.dtype)
+            h = jnp.tanh(k_in @ w1.astype(self.dtype)
+                         + b1.astype(self.dtype))
+            h = jnp.tanh(h @ w2.astype(self.dtype)
+                         + b2.astype(self.dtype))
+            k_out = (h @ w3.astype(self.dtype)
+                     + b3.astype(self.dtype)).reshape(E, C)
         # residual triangular kernel: max(0, 1 - |delta|*(C-1)) keeps the
         # init close to the classic voxel grid while staying learnable
         tri = jnp.maximum(0.0, 1.0 - jnp.abs(delta) * max(C - 1, 1))
@@ -118,7 +166,6 @@ class QuantizationLayer(nn.Module):
         plane = safe_sample * L + safe_elem
         method = self.scatter_method
         if method == 'auto':
-            import jax
             on_tpu = jax.default_backend() not in ('cpu', 'gpu')
             method = 'pallas' if on_tpu else 'scatter'
         if method == 'pallas':
@@ -206,12 +253,14 @@ class Model(nn.Module):
     base_channels: int = 64
     dtype: str = 'float32'
     scatter_method: str = 'auto'
+    kernel_mlp: str = 'auto'
 
     def setup(self):
         dtype = jnp.dtype(self.dtype)
         self.quantization_layer = QuantizationLayer(
             depth=self.event_representation_depth, dtype=dtype,
-            scatter_method=self.scatter_method)
+            scatter_method=self.scatter_method,
+            kernel_mlp=self.kernel_mlp)
         self.predictor = Predictor(base_channels=self.base_channels,
                                    activation=self.activation,
                                    dtype=dtype)

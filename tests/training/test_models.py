@@ -176,3 +176,71 @@ def test_upsample2x_matches_resize():
         ref = jax.image.resize(x, (B, 2 * H, 2 * W, C), method='nearest')
         got = net.upsample2x_nearest(x)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_dense_params_match_nn_dense_init():
+    """DenseParams reproduces nn.Dense's param tree and init values
+    bit-for-bit (checkpoint compatibility guard for the kernel-MLP
+    refactor, EVFlowNet/net.py DenseParams)."""
+    import importlib.util
+    import flax.linen as nn
+    spec = importlib.util.spec_from_file_location(
+        'evflownet_net_dp', REPO / 'EVFlowNet' / 'net.py')
+    net = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(net)
+
+    class DenseTwin(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Dense(30, name='kernel_hidden1')(x)
+            h = nn.Dense(30, name='kernel_hidden2')(jnp.tanh(h))
+            return nn.Dense(1, name='kernel_out',
+                            kernel_init=nn.initializers.normal(1e-2))(
+                                jnp.tanh(h))
+
+    class HolderTwin(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            w1, b1 = net.DenseParams(1, 30, name='kernel_hidden1')()
+            w2, b2 = net.DenseParams(30, 30, name='kernel_hidden2')()
+            w3, b3 = net.DenseParams(
+                30, 1, name='kernel_out',
+                kernel_init=nn.initializers.normal(1e-2))()
+            h = jnp.tanh(x @ w1 + b1)
+            h = jnp.tanh(h @ w2 + b2)
+            return h @ w3 + b3
+
+    x = jnp.ones((4, 1), jnp.float32)
+    p_dense = DenseTwin().init(jax.random.PRNGKey(7), x)['params']
+    p_holder = HolderTwin().init(jax.random.PRNGKey(7), x)['params']
+    flat_d = jax.tree_util.tree_leaves_with_path(p_dense)
+    flat_h = jax.tree_util.tree_leaves_with_path(p_holder)
+    assert [k for k, _ in flat_d] == [k for k, _ in flat_h]
+    for (k, vd), (_, vh) in zip(flat_d, flat_h):
+        np.testing.assert_array_equal(np.asarray(vd), np.asarray(vh),
+                                      err_msg=str(k))
+    # and the forward math agrees too
+    y_d = DenseTwin().apply({'params': p_dense}, x)
+    y_h = HolderTwin().apply({'params': p_holder}, x)
+    np.testing.assert_allclose(np.asarray(y_d), np.asarray(y_h),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_kernel_mlp_pallas_matches_xla_path():
+    """quantize() with the Pallas kernel-MLP (interpret mode) matches the
+    XLA Dense path (both fp32) through the full quantization layer."""
+    module = load_model_class(REPO / 'EVFlowNet')
+    events, timestamps, sample_idx, imsize = make_inputs(
+        batch_size=2, n_events=64, capacity=64)
+    xla_model = module.Model(event_representation_depth=4, base_channels=8,
+                             kernel_mlp='xla')
+    params = xla_model.init(jax.random.PRNGKey(0), events, timestamps,
+                            sample_idx, imsize)['params']
+    ref = xla_model.apply({'params': params}, events, timestamps,
+                          sample_idx, imsize, method=xla_model.quantize)
+    pal_model = module.Model(event_representation_depth=4, base_channels=8,
+                             kernel_mlp='interpret')
+    got = pal_model.apply({'params': params}, events, timestamps,
+                          sample_idx, imsize, method=pal_model.quantize)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
