@@ -94,10 +94,11 @@ class QuantizationLayer(nn.Module):
     # 'auto' (pallas on TPU, scatter elsewhere) | 'scatter' | 'matmul'
     # | 'pallas'
     scatter_method: str = 'auto'
-    # per-event MLP backend: 'auto' (= 'xla' everywhere for now: the v1
-    # Pallas kernel measured ~1.7 ms/step SLOWER than XLA on v5e — MXU
-    # latency-bound at 1 point/cycle with a 32-wide hidden axis, see
-    # scripts/benchmarks/ab_kernel_mlp.py), 'xla', 'pallas', 'interpret'
+    # per-event MLP backend: 'auto' (Pallas on TPU: the 4-group
+    # block-diagonal kernel runs the whole MLP in 0.55 ms/step vs the
+    # XLA form's ~4 ms of [E*C, hidden] HBM traffic — see
+    # scripts/benchmarks/ab_kernel_mlp.py and PERFORMANCE.md round 3),
+    # 'xla', 'pallas', 'interpret'
     kernel_mlp: str = 'auto'
 
     @nn.compact
@@ -120,8 +121,13 @@ class QuantizationLayer(nn.Module):
         t_norm = jnp.clip((events.timestamp - t0) / denom, 0.0, 1.0)  # [E]
 
         # --- learnable temporal kernel --------------------------------
+        # All per-(event, channel) tensors run CHANNEL-MAJOR [C, E]: with
+        # the event axis on the lanes the TPU tile is fully used, whereas
+        # [E, C=9] tensors in {1,0} layout pad 9 lanes to 128 (14x HBM
+        # inflation — ~670 MB/step measured in the recipe HLO, round 3).
+        # One transpose at the voxel-pack boundary restores [E, C].
         centers = jnp.arange(C, dtype=jnp.float32) / max(C - 1, 1)
-        delta = t_norm[:, None] - centers[None, :]            # [E, C]
+        delta = t_norm[None, :] - centers[:, None]            # [C, E]
         w1, b1 = DenseParams(1, self.hidden, name='kernel_hidden1')()
         w2, b2 = DenseParams(self.hidden, self.hidden,
                              name='kernel_hidden2')()
@@ -130,7 +136,8 @@ class QuantizationLayer(nn.Module):
             kernel_init=nn.initializers.normal(1e-2))()
         method = self.kernel_mlp
         if method == 'auto':
-            method = 'xla'
+            on_tpu = jax.default_backend() not in ('cpu', 'gpu')
+            method = 'pallas' if on_tpu else 'xla'
         if method in ('pallas', 'interpret'):
             # one VMEM-resident kernel for the whole MLP: the XLA form's
             # [E*C, hidden] activations are pure HBM traffic — 4.4 ms of
@@ -149,14 +156,15 @@ class QuantizationLayer(nn.Module):
             h = jnp.tanh(h @ w2.astype(self.dtype)
                          + b2.astype(self.dtype))
             k_out = (h @ w3.astype(self.dtype)
-                     + b3.astype(self.dtype)).reshape(E, C)
+                     + b3.astype(self.dtype)).reshape(C, E)
         # residual triangular kernel: max(0, 1 - |delta|*(C-1)) keeps the
         # init close to the classic voxel grid while staying learnable
         tri = jnp.maximum(0.0, 1.0 - jnp.abs(delta) * max(C - 1, 1))
-        weight = tri.astype(self.dtype) + k_out.reshape(E, C)
+        weight = tri.astype(self.dtype) + k_out.reshape(C, E)
 
-        value = weight * events.polarity[:, None].astype(self.dtype)
-        value = jnp.where(valid[:, None], value, 0.0)
+        value = weight * events.polarity[None, :].astype(self.dtype)
+        value = jnp.where(valid[None, :], value, 0.0)
+        value = value.T                                       # [E, C]
 
         # --- voxel binning (auto | scatter | matmul | pallas) ----------
         # 'auto' selects the Pallas kernel on TPU (17% faster end-to-end,

@@ -48,7 +48,9 @@ def build_step():
     module = load_model_class(REPO / 'EVFlowNet')
     model = module.Model(event_representation_depth=bench.DEPTH,
                          base_channels=bench.BASE, dtype=cfg['dtype'],
-                         scatter_method=bench.SCATTER)
+                         scatter_method=bench.SCATTER,
+                         kernel_mlp=os.environ.get('BENCH_KERNEL_MLP',
+                                                   'auto'))
     rng = np.random.default_rng(0)
     batch = bench.make_batch(rng)
     params = model.init(jax.random.PRNGKey(0), batch.events,
