@@ -57,7 +57,7 @@ def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
                 ev_hbm,                    # HBM: f32[Ep, 128] packed events
                 out_ref,                   # VMEM block: f32[1, H, C*W]
                 ev_v, sem,                 # scratch (double-buffered)
-                *, chunk, height, width, channels):
+                *, chunk, height, width, channels, single_pass=False):
     p = pl.program_id(0)
     start = offsets_ref[p]
     end = offsets_ref[p + 1]
@@ -91,12 +91,15 @@ def _fwd_kernel(offsets_ref,               # scalar prefetch: i32[P+1]
         xmask = (ev[:, 0:1].astype(jnp.int32)
                  == col_iota).astype(jnp.bfloat16)
         # bf16x2 weight split: w = hi + lo to ~2^-16 relative, so two
-        # bf16 MXU passes replace the 6-pass fp32 HIGHEST contraction
+        # bf16 MXU passes replace the 6-pass fp32 HIGHEST contraction.
+        # single_pass: the incoming weights are already bf16-valued
+        # (recipe mode) — w_lo is identically zero, skip its pass.
         w32 = ev[:, 2:2 + channels]
         w_hi = w32.astype(jnp.bfloat16)
-        w_lo = (w32 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        parts = (w_hi,) if single_pass else (
+            w_hi, (w32 - w_hi.astype(jnp.float32)).astype(jnp.bfloat16))
         contrib = jnp.zeros((height, channels * width), jnp.float32)
-        for part in (w_hi, w_lo):
+        for part in parts:
             # channel-major weighted columns [chunk, C*W]; products of
             # bf16 one-hots with bf16 weights are exact
             wcols = jnp.concatenate(
@@ -119,7 +122,7 @@ def _bwd_kernel(offsets_ref,               # i32[P+1]
                 ev_hbm, g_ref,             # f32[Ep,128], VMEM f32[1,H,C*W]
                 dw_ref,                    # HBM out: f32[Ep, 128]
                 ev_v, dw_v, sem, out_sem,  # scratch (double-buffered)
-                *, chunk, height, width, channels):
+                *, chunk, height, width, channels, single_pass=False):
     p = pl.program_id(0)
     start = offsets_ref[p]
     end = offsets_ref[p + 1]
@@ -157,9 +160,13 @@ def _bwd_kernel(offsets_ref,               # i32[P+1]
             .astype(jnp.bfloat16)
         g_plane = g_ref[0]
         g_hi = g_plane.astype(jnp.bfloat16)
-        g_lo = (g_plane - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # single_pass: the primal weights were bf16, so the returned
+        # cotangent is rounded to bf16 anyway — the lo half of g is
+        # below that rounding and its pass is skipped
+        parts = (g_hi,) if single_pass else (
+            g_hi, (g_plane - g_hi.astype(jnp.float32)).astype(jnp.bfloat16))
         tmp = jnp.zeros((chunk, channels * width), jnp.float32)
-        for part in (g_hi, g_lo):
+        for part in parts:
             tmp += jax.lax.dot_general(
                 rows, part,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -245,8 +252,13 @@ def _fwd(x, y, plane, weights, valid,
                                           valid, chunk)
     cw = C * width
 
+    # bf16-valued weights (recipe mode) have an identically-zero lo
+    # split: run the contraction single-pass (same result, half the MXU
+    # and mask work)
+    single = weights.dtype == jnp.bfloat16
     kernel = functools.partial(_fwd_kernel, chunk=chunk, height=height,
-                               width=width, channels=C)
+                               width=width, channels=C,
+                               single_pass=single)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_planes,),
@@ -290,7 +302,8 @@ def _bwd_vjp(num_planes, height, width, chunk, interpret, residuals, g):
         .astype(jnp.float32)
 
     kernel = functools.partial(_bwd_kernel, chunk=chunk, height=height,
-                               width=width, channels=C)
+                               width=width, channels=C,
+                               single_pass=w_proto.dtype == jnp.bfloat16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_planes,),

@@ -78,3 +78,35 @@ def test_vjp_zero_for_padding():
 
     g = np.asarray(jax.grad(f)(weights))
     assert np.abs(g[100:]).max() == 0.0
+
+
+def test_bf16_weights_single_pass():
+    """bf16-valued weights (recipe mode) take the single-pass contraction:
+    bit-identical to two-pass (the lo split of a bf16 value is zero) and
+    the returned weight-cotangent keeps the bf16 dtype."""
+    case = make_case(seed=9)
+    x, y, plane, weights, valid, P, H, W = case
+    w16 = weights.astype(jnp.bfloat16)
+
+    ref = np.asarray(voxelize_scatter(x, y, plane,
+                                      w16.astype(jnp.float32), valid,
+                                      num_planes=P, height=H, width=W))
+    got = np.asarray(voxelize_pallas(x, y, plane, w16, valid,
+                                     P, H, W, 64, True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    def f(w):
+        return (voxelize_pallas(x, y, plane, w, valid,
+                                P, H, W, 64, True) ** 2).sum()
+
+    def f_ref(w):
+        return (voxelize_scatter(x, y, plane, w.astype(jnp.float32),
+                                 valid, num_planes=P, height=H,
+                                 width=W) ** 2).sum()
+
+    g = jax.grad(f)(w16)
+    assert g.dtype == jnp.bfloat16
+    g_ref = jax.grad(f_ref)(w16)
+    np.testing.assert_allclose(np.asarray(g, np.float32),
+                               np.asarray(g_ref, np.float32),
+                               rtol=1e-2, atol=1e-2)
