@@ -278,8 +278,12 @@ def _fwd(x, y, plane, weights, valid,
     )(offsets, packed)
     # channel-major [P, H, C, W] -> [P, H, W, C]
     out = out.reshape(num_planes, height, C, width).transpose(0, 1, 3, 2)
-    # dtype carrier: residual pytrees may only hold arrays
-    residuals = (x, y, plane, valid, jnp.zeros((0,), weights.dtype))
+    # the backward kernel reads only the x/y columns of the packed
+    # records, so the forward's packed buffer and offsets are carried as
+    # residuals instead of re-packing (a full [Ep, 128] write at bench
+    # shapes); the empty array is a dtype carrier (residual pytrees may
+    # only hold arrays)
+    residuals = (packed, offsets, valid, jnp.zeros((0,), weights.dtype))
     return out, residuals
 
 
@@ -290,12 +294,10 @@ def _fwd_vjp(x, y, plane, weights, valid,
 
 
 def _bwd_vjp(num_planes, height, width, chunk, interpret, residuals, g):
-    x, y, plane, valid, w_proto = residuals
-    E = x.shape[0]
+    packed, offsets, valid, w_proto = residuals
+    E = valid.shape[0]
     C = g.shape[-1]
-    packed, offsets, _, Ep = _pack_events(
-        x, y, jnp.zeros((E, C), jnp.float32), num_planes, plane, valid,
-        chunk)
+    Ep = packed.shape[0]
     cw = C * width
     # [P, H, W, C] -> channel-major [P, H, C*W]
     g2 = g.transpose(0, 1, 3, 2).reshape(num_planes, height, cw) \
