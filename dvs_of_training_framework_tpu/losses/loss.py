@@ -188,9 +188,11 @@ def init_losses(shape, batch_size, apply_fn, params, sequence_length=1,
         apply_fn: ``(params, events, timestamps, sample_idx, imsize) -> out``.
         params: model parameters (only shapes matter).
         sequence_length: timestamps per sample - 1.
-        loss_precision: 'highest' (default, keeps the 5e-6 goldens) or
+        loss_precision: 'highest' (default, keeps the 5e-6 goldens),
             'bf16x2' (2-pass hi+lo split in the warp contraction,
-            ~2^-16 relative — the opt-in speed recipe, --loss-precision).
+            ~2^-16 relative — the opt-in speed recipe, --loss-precision)
+            or 'bf16x1' (hi pass only, ~2^-8 — fastest; accuracy A/B in
+            ACCURACY.md).
     """
     from ..data.schema import EventBuffer
 
@@ -211,5 +213,6 @@ def init_losses(shape, batch_size, apply_fn, params, sequence_length=1,
         lambda p, e, t, s: apply_fn(p, e, t, s, imsize),
         params, events, timestamps, sample_idx)
     out_shapes = tuple(tuple(flow.shape[2:]) for flow in out[0])
-    assert loss_precision in ('highest', 'bf16x2'), loss_precision
-    return MultiScaleLoss(out_shapes, bf16x2=loss_precision == 'bf16x2')
+    assert loss_precision in ('highest', 'bf16x2', 'bf16x1'), loss_precision
+    bf16x2 = {'highest': False, 'bf16x2': True, 'bf16x1': 'x1'}
+    return MultiScaleLoss(out_shapes, bf16x2=bf16x2[loss_precision])

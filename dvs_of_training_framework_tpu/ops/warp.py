@@ -173,10 +173,13 @@ def _corner_values(images, iy, ix, chunk, bf16x2=False):
         y_two = jnp.concatenate([y0c, y0c + 1], axis=1)        # [N, 2c]
         if bf16x2:
             onehot = (y_two[:, :, None] == row_iota).astype(jnp.bfloat16)
+            img_parts = _split_bf16(images)
+            if bf16x2 == 'x1':        # hi pass only (~2^-8 relative)
+                img_parts = img_parts[:1]
             rows = sum(
                 jnp.einsum('nph,nchw->npcw', onehot, part,
                            preferred_element_type=jnp.float32)
-                for part in _split_bf16(images))     # [N, 2c, C, W]
+                for part in img_parts)               # [N, 2c, C, W]
         else:
             onehot = (y_two[:, :, None] == row_iota).astype(jnp.float32)
             rows = jnp.einsum('nph,nchw->npcw', onehot, images,
@@ -186,10 +189,13 @@ def _corner_values(images, iy, ix, chunk, bf16x2=False):
             two = jnp.concatenate([x_corner, x_corner], axis=1)
             if bf16x2:
                 mask = (two[:, :, None] == col_iota).astype(jnp.bfloat16)
+                row_parts = _split_bf16(rows)
+                if bf16x2 == 'x1':
+                    row_parts = row_parts[:1]
                 return sum(
                     jnp.einsum('npcw,npw->npc', part, mask,
                                preferred_element_type=jnp.float32)
-                    for part in _split_bf16(rows))   # [N, 2c, C]
+                    for part in row_parts)           # [N, 2c, C]
             mask = (two[:, :, None] == col_iota).astype(jnp.float32)
             return jnp.einsum('npcw,npw->npc', rows, mask,
                               precision='highest')   # [N, 2c, C]

@@ -55,13 +55,19 @@ def _kernel(img_ref,        # VMEM [N, H, W] f32
             # one-hots are exact in bf16; the image rides a hi+lo split
             # (relative error ~2^-16): two bf16 MXU passes replace the
             # 6-pass fp32 HIGHEST contraction — the bf16x2 loss recipe
-            # (PERFORMANCE.md round 3), opt-in via --loss-precision
+            # (PERFORMANCE.md round 3), opt-in via --loss-precision.
+            # bf16x2='x1' keeps only the hi pass (~2^-8 relative — the
+            # bf16x1 mode, accuracy-validated separately in ACCURACY.md)
             rowsT = (row_iota == y_two).astype(jnp.bfloat16)
             img_hi = img.astype(jnp.bfloat16)
-            img_lo = (img - img_hi.astype(jnp.float32)) \
-                .astype(jnp.bfloat16)
+            if bf16x2 == 'x1':
+                parts = (img_hi,)
+            else:
+                parts = (img_hi,
+                         (img - img_hi.astype(jnp.float32))
+                         .astype(jnp.bfloat16))
             vals = jnp.zeros((width, 2 * chunk), jnp.float32)
-            for part in (img_hi, img_lo):
+            for part in parts:
                 vals += jax.lax.dot_general(
                     part, rowsT,
                     dimension_numbers=(((0,), (0,)), ((), ())),

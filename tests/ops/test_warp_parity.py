@@ -215,3 +215,22 @@ def test_einsum_bf16x2_close_to_fp32():
                                           jnp.asarray(grid), 32,
                                           False, True))
     np.testing.assert_allclose(fast2, ref, rtol=0, atol=255 * 2 ** -15)
+
+
+def test_bf16x1_close_to_fp32_both_backends():
+    """The single-pass bf16x1 mode tracks fp32 corner values to ~2^-8
+    relative (its documented bound) on both warp backends."""
+    from dvs_of_training_framework_tpu.ops.warp import grid_sample_onehot
+    rng = np.random.default_rng(13)
+    N, C, H, W = 2, 1, 16, 24
+    images = rng.uniform(0, 255, size=(N, C, H, W)).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, size=(N, 9, 11, 2)).astype(np.float32)
+    ref = np.asarray(grid_sample_onehot(jnp.asarray(images),
+                                        jnp.asarray(grid), 64,
+                                        False, False))
+    for backend in (False, 'interpret'):
+        fast = np.asarray(grid_sample_onehot(jnp.asarray(images),
+                                             jnp.asarray(grid), 64,
+                                             backend, 'x1'))
+        np.testing.assert_allclose(fast, ref, rtol=0, atol=255 * 2 ** -7,
+                                   err_msg=str(backend))
