@@ -137,7 +137,9 @@ class QuantizationLayer(nn.Module):
         method = self.kernel_mlp
         if method == 'auto':
             on_tpu = jax.default_backend() not in ('cpu', 'gpu')
-            method = 'pallas' if on_tpu else 'xla'
+            # the Pallas kernel packs the hidden axis into 32-sublane
+            # groups; larger hidden sizes fall back to the XLA path
+            method = 'pallas' if on_tpu and self.hidden <= 32 else 'xla'
         if method in ('pallas', 'interpret'):
             # one VMEM-resident kernel for the whole MLP: the XLA form's
             # [E*C, hidden] activations are pure HBM traffic — 4.4 ms of

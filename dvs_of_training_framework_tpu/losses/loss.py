@@ -33,7 +33,11 @@ class SingleScaleLoss:
     """
 
     def __init__(self, pred_shape: Tuple[int, int], use_mxu_warp=None,
-                 bf16x2: bool = False):
+                 bf16x2=False):
+        # bf16x2 is a tri-state: False = fp32 HIGHEST, True = 2-pass
+        # hi+lo bf16 split (~2^-16), 'x1' = hi pass only (~2^-8).
+        # Truthiness means "bf16 family"; equality with 'x1' selects the
+        # single-pass mode (same contract in ops/warp.py).
         self.H, self.W = int(pred_shape[0]), int(pred_shape[1])
         xs = jnp.arange(self.W, dtype=jnp.float32)
         ys = jnp.arange(self.H, dtype=jnp.float32)
@@ -136,7 +140,8 @@ class MultiScaleLoss:
     """
 
     def __init__(self, shapes: Sequence[Tuple[int, int]],
-                 bf16x2: bool = False):
+                 bf16x2=False):
+        # tri-state precision flag; see SingleScaleLoss.__init__
         self.shapes = [tuple(map(int, s)) for s in shapes]
         self.losses = [SingleScaleLoss(s, bf16x2=bf16x2)
                        for s in self.shapes]

@@ -255,9 +255,10 @@ def grid_sample_onehot(images, grid, chunk=8192, use_pallas=None,
     path wins, see ``_use_pallas``); True/False force it; 'interpret'
     runs the kernel in interpret mode (CPU tests).
 
-    ``bf16x2``: both backends contract hi+lo bf16 splits (2 MXU passes
-    each, ~2^-16 relative error) instead of fp32 HIGHEST — the opt-in
-    bf16x2 loss recipe; the fp32 default keeps the 5e-6 goldens.
+    ``bf16x2``: tri-state — False (fp32 HIGHEST, keeps the 5e-6
+    goldens), True (hi+lo bf16 split, 2 MXU passes each, ~2^-16
+    relative — the bf16x2 loss recipe) or ``'x1'`` (hi pass only,
+    ~2^-8 — the bf16x1 mode).  Both backends honour all three.
     """
     out, _ = _gso_fwd(images, grid, chunk, use_pallas, bf16x2)
     return out

@@ -7,43 +7,34 @@ This measures the full recipe step with (a) the real learnable kernel
 and (b) the fixed triangular kernel only (MLP skipped), in ONE process.
 The delta bounds what a fused Pallas event-kernel could recover.
 
+Result (recorded): 19.9 -> 15.5 ms/step, i.e. the XLA-form MLP cost
+4.4 ms — the evidence behind ops/kernel_mlp_pallas.py.
+
 Usage: python scripts/benchmarks/ab_mlp_cost.py [iters]
 """
+import importlib
 import sys
-import time
-from pathlib import Path
 
-import numpy as np
+from step_harness import REPO, measure_step
 
-REPO = Path(__file__).resolve().parents[2]
 sys.path.insert(0, str(REPO))
 
-import bench  # noqa: E402
+from dvs_of_training_framework_tpu.models import load_model_class  # noqa
 
 
 def measure(skip_mlp, iters):
-    import jax
     import jax.numpy as jnp
-    from types import SimpleNamespace
-    from dvs_of_training_framework_tpu.losses import MultiScaleLoss
-    from dvs_of_training_framework_tpu.models import load_model_class
-    from dvs_of_training_framework_tpu.training.optimizers import \
-        construct_optimizer
-    from dvs_of_training_framework_tpu.training.state import (
-        create_train_state, make_train_step)
-
     module = load_model_class(REPO / 'EVFlowNet')
-    import importlib
     # the plugin module object exposes its net module via Model.__module__
     net_mod = importlib.import_module(module.Model.__module__)
-
     orig_call = net_mod.QuantizationLayer.__call__
 
     if skip_mlp:
         def tri_only(self, events, timestamps, sample_idx, imsize,
                      num_elements, batch_size):
-            # identical to the real layer but weight = tri (keeps the
-            # Dense params in the tree so the optimizer state matches)
+            # identical to the real layer but weight = tri; the MLP's
+            # params (and their optimizer-state cost, ~2k elements —
+            # noise) are removed along with its compute
             H, W = imsize
             C = self.depth
             L = num_elements
@@ -58,14 +49,11 @@ def measure(skip_mlp, iters):
             denom = jnp.maximum(t1 - t0, 1e-9)
             t_norm = jnp.clip((events.timestamp - t0) / denom, 0.0, 1.0)
             centers = jnp.arange(C, dtype=jnp.float32) / max(C - 1, 1)
-            delta = t_norm[:, None] - centers[None, :]
-            # no MLP params at all: the optimizer tree is built from this
-            # same init, so the step stays self-consistent; ~2k fewer
-            # params is noise next to the 14M predictor
+            delta = t_norm[None, :] - centers[:, None]        # [C, E]
             tri = jnp.maximum(0.0, 1.0 - jnp.abs(delta) * max(C - 1, 1))
             weight = tri.astype(self.dtype)
-            value = weight * events.polarity[:, None].astype(self.dtype)
-            value = jnp.where(valid[:, None], value, 0.0)
+            value = weight * events.polarity[None, :].astype(self.dtype)
+            value = jnp.where(valid[None, :], value, 0.0).T
             from dvs_of_training_framework_tpu.ops.voxel_pallas import \
                 voxelize_pallas
             plane = safe_sample * L + safe_elem
@@ -77,35 +65,7 @@ def measure(skip_mlp, iters):
             return grid
         net_mod.QuantizationLayer.__call__ = tri_only
     try:
-        model = module.Model(event_representation_depth=bench.DEPTH,
-                             base_channels=bench.BASE, dtype='bfloat16',
-                             scatter_method=bench.SCATTER)
-        rng = np.random.default_rng(0)
-        batch = bench.make_batch(rng)
-        params = model.init(jax.random.PRNGKey(0), batch.events,
-                            batch.timestamps, batch.sample_idx,
-                            bench.IMSIZE)['params']
-        args = SimpleNamespace(optimizer='RANGER', lr=1e-3, wdw=1e-4,
-                               half_life=100000, num_warmup_steps=0,
-                               training_steps=1000000, rs=0.5)
-        tx = construct_optimizer(args, params)
-        evaluator = MultiScaleLoss(
-            [tuple(x // 2 ** i for x in bench.IMSIZE)
-             for i in range(4)][::-1], bf16x2=True)
-        step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
-                               accumulation_steps=1, is_raw=True)
-        state = create_train_state(
-            jax.tree_util.tree_map(jnp.array, params), tx)
-        staged = jax.device_put(batch)
-        for _ in range(3):
-            state, (loss, _) = step(state, staged)
-        jax.block_until_ready(state.params)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, (loss, _) = step(state, staged)
-        jax.block_until_ready(state.params)
-        dt = (time.perf_counter() - t0) / iters
-        return dt, float(loss)
+        return measure_step(iters=iters)
     finally:
         net_mod.QuantizationLayer.__call__ = orig_call
 

@@ -20,12 +20,11 @@ from profile_step_trace import build_step  # noqa: E402
 
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else '/tmp/step_hlo.txt'
-    import jax
     train_step, state, staged = build_step()
-    lowered = jax.jit(train_step.__wrapped__
-                      if hasattr(train_step, '__wrapped__')
-                      else train_step).lower(state, staged)
-    compiled = lowered.compile()
+    # .lower on the jitted step preserves donate_argnums — re-jitting
+    # __wrapped__ would drop aliasing and renumber the copy.N kernels
+    # this dump exists to map
+    compiled = train_step.lower(state, staged).compile()
     text = compiled.as_text()
     Path(out_path).write_text(text)
     print(f'wrote {len(text)} bytes to {out_path}')
