@@ -67,18 +67,74 @@ class Batch:
     size: int = struct.field(pytree_node=False)
 
 
+@struct.dataclass
+class PackedEventBuffer:
+    """Bit-packed event wire record (8 B/event vs the 13 B int16 wire).
+
+    ``packed`` holds, little-to-big: x (10 bits), y (10), polarity + 1
+    (2), element_index (4), sample_index (6).  The timestamp stays
+    float32 (the loss normalises with it at full precision).  Only used
+    on the wire — ``expand_events`` unpacks back to an ``EventBuffer``
+    on device.  Packability is a STATIC property of the run
+    (image dims <= 1024, sequence length <= 16, batch size <= 63 — the
+    padding sentinel ``sample_index == batch_size`` must fit), so the
+    batch pytree structure never flips between steps.
+    """
+    packed: jnp.ndarray
+    timestamp: jnp.ndarray
+    num_events: jnp.ndarray
+
+
+def _packable(batch: Batch) -> bool:
+    """Static decision: can this run's event wire use PackedEventBuffer?
+
+    Derived from shapes and the static batch size only — never from
+    event values — so every window of a run packs identically (a
+    structure flip would retrigger XLA compilation).
+    """
+    if batch.events is None or batch.images is None:
+        return False
+    if batch.images.ndim != 4:
+        return False
+    H, W = batch.images.shape[-2:]
+    num_ts = batch.timestamps.shape[0]
+    if num_ts % batch.size:
+        return False
+    L = num_ts // batch.size - 1
+    return H <= 1024 and W <= 1024 and L <= 16 and batch.size <= 63
+
+
+def pack_events_wire(ev: EventBuffer) -> PackedEventBuffer:
+    """Host-side bit packing (numpy); inverse is in ``expand_events``."""
+    x = np.asarray(ev.x, np.uint32)
+    y = np.asarray(ev.y, np.uint32)
+    pol = (np.asarray(ev.polarity, np.int32) + 1).astype(np.uint32)
+    elem = np.asarray(ev.element_index, np.uint32)
+    sample = np.asarray(ev.sample_index, np.uint32)
+    packed = (x | (y << 10) | (pol << 20) | (elem << 22) | (sample << 26))
+    return PackedEventBuffer(packed=packed.astype(np.uint32),
+                             timestamp=ev.timestamp,
+                             num_events=ev.num_events)
+
+
 def compact_batch(batch: Batch) -> Batch:
-    """Narrow a device-ready Batch to compact wire dtypes (~2.6x fewer
-    bytes): int16 coordinates/indices, int8 polarity, uint8 images when
-    they are integral (they come from the uint8 codec/frames, so they
-    are, unless a plugin injects fractional dense inputs).
+    """Narrow a device-ready Batch to compact wire dtypes: bit-packed
+    uint32 event records when the run's shapes allow it (8 B/event),
+    int16 coordinates/indices + int8 polarity otherwise, and uint8
+    images when they are integral (they come from the uint8
+    codec/frames, so they are, unless a plugin injects fractional dense
+    inputs).
 
     ``expand_batch`` is the exact inverse on device; pairing them is
     lossless.  Upload bytes matter on PCIe hosts and under tunnelled
-    runtimes (PERFORMANCE.md round 2).
+    runtimes — this environment's tunnel ingests NOVEL content at only
+    ~75 MB/s (content-dedupe hashing), so wire bytes directly bound the
+    as-trained rate (PERFORMANCE.md rounds 2-3).
     """
     ev = batch.events
-    if ev is not None:
+    if ev is not None and _packable(batch):
+        ev = pack_events_wire(ev)
+    elif ev is not None:
         # int16 holds VALUES (pixel coords < 32768, element/sample ids),
         # not buffer indices — any capacity is fine
         ev = EventBuffer(
@@ -100,8 +156,19 @@ def compact_batch(batch: Batch) -> Batch:
                  size=batch.size)
 
 
-def expand_events(ev: EventBuffer) -> EventBuffer:
+def expand_events(ev) -> EventBuffer:
     """Device-side inverse of the EventBuffer leg of ``compact_batch``."""
+    if isinstance(ev, PackedEventBuffer):
+        p = ev.packed
+        return EventBuffer(
+            x=(p & 0x3FF).astype(jnp.int32),
+            y=((p >> 10) & 0x3FF).astype(jnp.int32),
+            timestamp=ev.timestamp,
+            polarity=(((p >> 20) & 0x3).astype(jnp.int32) - 1)
+            .astype(jnp.float32),
+            element_index=((p >> 22) & 0xF).astype(jnp.int32),
+            sample_index=((p >> 26) & 0x3F).astype(jnp.int32),
+            num_events=ev.num_events)
     if ev.x.dtype == jnp.int32:
         return ev
     return EventBuffer(

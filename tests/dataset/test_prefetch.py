@@ -70,16 +70,18 @@ def test_prefetch_closes_source_on_abandonment():
 
 
 def test_compact_expand_roundtrip():
-    """Wire compaction (int16/int8 events, uint8 images) is lossless."""
+    """Wire compaction (bit-packed uint32 events, uint8 images) is
+    lossless, and runs whose shapes exceed the packing bounds fall back
+    to the int16/int8 wire."""
     import jax
-    from dvs_of_training_framework_tpu.data.schema import (compact_batch,
-                                                           expand_batch)
+    from dvs_of_training_framework_tpu.data.schema import (
+        PackedEventBuffer, compact_batch, expand_batch)
     batch = pad_batch(make_host_batch(50), capacity=64)
     compact = compact_batch(batch)
-    assert compact.events.x.dtype == np.int16
-    assert compact.events.polarity.dtype == np.int8
+    # packable shapes -> 8 B/event bit-packed records
+    assert isinstance(compact.events, PackedEventBuffer)
+    assert compact.events.packed.dtype == np.uint32
     assert compact.images.dtype == np.uint8
-    # ~2.6x fewer wire bytes on the event fields
     restored = jax.jit(expand_batch)(compact)
     for name in ('x', 'y', 'timestamp', 'polarity', 'element_index',
                  'sample_index'):
@@ -95,6 +97,17 @@ def test_compact_expand_roundtrip():
     # fractional images must NOT be narrowed
     frac = batch.replace(images=batch.images + 0.5)
     assert compact_batch(frac).images.dtype == np.float32
+
+    # shapes beyond the packing bounds (H > 1024) -> int16 fallback
+    D = batch.images.shape[0]
+    big = batch.replace(images=np.zeros((D, 1, 2000, 8), np.float32))
+    fallback = compact_batch(big)
+    assert not isinstance(fallback.events, PackedEventBuffer)
+    assert fallback.events.x.dtype == np.int16
+    assert fallback.events.polarity.dtype == np.int8
+    restored2 = jax.jit(expand_batch)(fallback)
+    np.testing.assert_array_equal(np.asarray(restored2.events.x),
+                                  np.asarray(batch.events.x))
 
 
 def test_prefetch_keeps_committed_arrays_in_place():
