@@ -78,15 +78,21 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
             pending = []
             skipped = []
 
+            # the wire format (bit-packed vs int16 events) is decided on
+            # the FIRST prepared batch and then held fixed: a per-batch
+            # flip would change the window pytree structure mid-stream
+            # (stack_batches would crash / the step would recompile).
+            # pack_events_wire value-checks every batch and raises
+            # OverflowError for fields that no longer fit (ragged
+            # streams), which lands in the skipped-batch report path.
+            from .schema import compact_batch, packable
+            wire_pack = [None]
+
             def flush():
                 if not pending:
                     return True
                 hosts, prepared = zip(*pending)
                 n_valid = len(prepared)
-                # narrow to wire dtypes before upload; the jitted step
-                # expands on device (schema.compact_batch/expand_batch)
-                from .schema import compact_batch
-                prepared = [compact_batch(b) for b in prepared]
                 padded = list(prepared) + [prepared[-1]] * \
                     (window - n_valid)
                 device_window = place_fn(stack_batches(padded))
@@ -103,7 +109,16 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
                 if stop.is_set():
                     break
                 try:
-                    pending.append((host_batch, prepare_fn(host_batch)))
+                    prepared = prepare_fn(host_batch)
+                    if wire_pack[0] is None:
+                        wire_pack[0] = packable(prepared)
+                    # narrow to wire dtypes before upload; the jitted
+                    # step expands on device (schema.expand_batch).
+                    # pack_events_wire raises OverflowError on fields
+                    # that don't fit -> the batch joins the skip report
+                    pending.append((host_batch,
+                                    compact_batch(prepared,
+                                                  pack=wire_pack[0])))
                 except OverflowError:
                     skipped.append(host_batch)
                     continue

@@ -85,12 +85,23 @@ class PackedEventBuffer:
     num_events: jnp.ndarray
 
 
-def _packable(batch: Batch) -> bool:
-    """Static decision: can this run's event wire use PackedEventBuffer?
+def packable(batch: Batch) -> bool:
+    """May this batch's event wire use ``PackedEventBuffer``?
 
-    Derived from shapes and the static batch size only — never from
-    event values — so every window of a run packs identically (a
-    structure flip would retrigger XLA compilation).
+    Decided from shapes and the static batch size (image dims, the
+    mean per-sample element count, size).  Callers that stream MANY
+    batches through one jitted program (the device queue) must call
+    this ONCE and pass the decision to every ``compact_batch`` — a
+    per-batch flip would change the pytree structure mid-stream.
+    ``pack_events_wire`` independently value-checks every batch and
+    raises OverflowError when a field does not fit (ragged streams can
+    exceed the mean-derived element bound), which the device queue
+    turns into a skipped-and-reported batch instead of corruption.
+
+    The mesh path's window batches carry extra leading axes (5-D
+    images) and keep the int16 wire — packing there would need the
+    per-shard split thread the same decision through; left unpacked
+    and documented (PERFORMANCE.md).
     """
     if batch.events is None or batch.images is None:
         return False
@@ -105,19 +116,40 @@ def _packable(batch: Batch) -> bool:
 
 
 def pack_events_wire(ev: EventBuffer) -> PackedEventBuffer:
-    """Host-side bit packing (numpy); inverse is in ``expand_events``."""
-    x = np.asarray(ev.x, np.uint32)
-    y = np.asarray(ev.y, np.uint32)
-    pol = (np.asarray(ev.polarity, np.int32) + 1).astype(np.uint32)
-    elem = np.asarray(ev.element_index, np.uint32)
-    sample = np.asarray(ev.sample_index, np.uint32)
-    packed = (x | (y << 10) | (pol << 20) | (elem << 22) | (sample << 26))
-    return PackedEventBuffer(packed=packed.astype(np.uint32),
+    """Host-side bit packing (numpy); inverse is in ``expand_events``.
+
+    Raises:
+        OverflowError: when any field exceeds its bit width (x/y 10
+            bits, polarity in {-1, 0, 1}, element_index 4 bits,
+            sample_index 6 bits) — silent corruption is never an option.
+    """
+    x = np.asarray(ev.x, np.int64)
+    y = np.asarray(ev.y, np.int64)
+    pol_f = np.asarray(ev.polarity)
+    pol = np.asarray(pol_f, np.int64) + 1
+    if not np.array_equal(pol - 1, pol_f):
+        raise OverflowError('polarity must be integral (-1/0/+1) for the '
+                            'packed event wire')
+    elem = np.asarray(ev.element_index, np.int64)
+    sample = np.asarray(ev.sample_index, np.int64)
+    for name, arr, hi in (('x', x, 1024), ('y', y, 1024),
+                          ('polarity+1', pol, 3),
+                          ('element_index', elem, 16),
+                          ('sample_index', sample, 64)):
+        lo_bad = arr.min(initial=0) < 0
+        hi_bad = arr.max(initial=0) >= hi
+        if lo_bad or hi_bad:
+            raise OverflowError(
+                f'event field {name} out of packed-wire range [0, {hi}) '
+                f'(min {arr.min(initial=0)}, max {arr.max(initial=0)})')
+    packed = (x | (y << 10) | (pol << 20) | (elem << 22)
+              | (sample << 26)).astype(np.uint32)
+    return PackedEventBuffer(packed=packed,
                              timestamp=ev.timestamp,
                              num_events=ev.num_events)
 
 
-def compact_batch(batch: Batch) -> Batch:
+def compact_batch(batch: Batch, pack=None) -> Batch:
     """Narrow a device-ready Batch to compact wire dtypes: bit-packed
     uint32 event records when the run's shapes allow it (8 B/event),
     int16 coordinates/indices + int8 polarity otherwise, and uint8
@@ -127,12 +159,19 @@ def compact_batch(batch: Batch) -> Batch:
 
     ``expand_batch`` is the exact inverse on device; pairing them is
     lossless.  Upload bytes matter on PCIe hosts and under tunnelled
-    runtimes — this environment's tunnel ingests NOVEL content at only
-    ~75 MB/s (content-dedupe hashing), so wire bytes directly bound the
-    as-trained rate (PERFORMANCE.md rounds 2-3).
+    runtimes — after this environment's first D2H fetch, uploads run at
+    only ~80 MB/s per byte (the D2H poison, PERFORMANCE.md round 3), so
+    wire bytes directly bound the as-trained rate.
+
+    Args:
+        pack: tri-state — None decides per batch via ``packable``;
+            streaming callers (device queue) pass an explicit bool,
+            decided once, so the wire pytree structure stays constant.
     """
     ev = batch.events
-    if ev is not None and _packable(batch):
+    if pack is None:
+        pack = packable(batch)
+    if ev is not None and pack:
         ev = pack_events_wire(ev)
     elif ev is not None:
         # int16 holds VALUES (pixel coords < 32768, element/sample ids),

@@ -125,3 +125,69 @@ def test_prefetch_keeps_committed_arrays_in_place():
         iter([make_host_batch(5)]), prepare, depth=1))
     assert dev['x'] is marker           # untouched
     assert isinstance(dev['y'], jax.Array)  # numpy leaf transferred
+
+
+def test_packed_wire_boundary_values():
+    """Every bit field round-trips at its extremes (x=y=1023, elem=15,
+    sample=63 sentinel, polarity in {-1, 0, +1}) — pins the exact
+    shift/width layout."""
+    import jax
+    from dvs_of_training_framework_tpu.data.schema import (
+        EventBuffer, expand_events, pack_events_wire)
+    ev = EventBuffer(
+        x=np.array([0, 1023, 512, 0], np.int32),
+        y=np.array([1023, 0, 300, 0], np.int32),
+        timestamp=np.array([0.0, 0.5, 1.0, 0.0], np.float32),
+        polarity=np.array([-1.0, 1.0, 0.0, 1.0], np.float32),
+        element_index=np.array([15, 0, 7, 0], np.int32),
+        sample_index=np.array([0, 62, 63, 63], np.int32),
+        num_events=np.int32(3))
+    packed = pack_events_wire(ev)
+    out = jax.jit(expand_events)(packed)
+    for name in ('x', 'y', 'timestamp', 'polarity', 'element_index',
+                 'sample_index'):
+        np.testing.assert_array_equal(np.asarray(getattr(out, name)),
+                                      np.asarray(getattr(ev, name)),
+                                      err_msg=name)
+
+
+def test_packed_wire_rejects_out_of_range():
+    """Out-of-range fields raise OverflowError (-> the device queue's
+    skip-and-report path) instead of silently corrupting neighbours."""
+    import pytest as _pytest
+    from dvs_of_training_framework_tpu.data.schema import (
+        EventBuffer, pack_events_wire)
+
+    def ev(**kw):
+        base = dict(
+            x=np.zeros(4, np.int32), y=np.zeros(4, np.int32),
+            timestamp=np.zeros(4, np.float32),
+            polarity=np.ones(4, np.float32),
+            element_index=np.zeros(4, np.int32),
+            sample_index=np.zeros(4, np.int32),
+            num_events=np.int32(4))
+        base.update(kw)
+        return EventBuffer(**base)
+
+    for bad in (dict(x=np.array([0, 0, 0, 1024], np.int32)),
+                dict(y=np.array([0, 0, 0, 5000], np.int32)),
+                dict(element_index=np.array([0, 16, 0, 0], np.int32)),
+                dict(sample_index=np.array([64, 0, 0, 0], np.int32)),
+                dict(x=np.array([-1, 0, 0, 0], np.int32))):
+        with _pytest.raises(OverflowError):
+            pack_events_wire(ev(**bad))
+
+
+def test_packed_wire_rejects_fractional_polarity():
+    import pytest as _pytest
+    from dvs_of_training_framework_tpu.data.schema import (
+        EventBuffer, pack_events_wire)
+    ev = EventBuffer(
+        x=np.zeros(4, np.int32), y=np.zeros(4, np.int32),
+        timestamp=np.zeros(4, np.float32),
+        polarity=np.array([1.0, -1.0, 0.5, 0.0], np.float32),
+        element_index=np.zeros(4, np.int32),
+        sample_index=np.zeros(4, np.int32),
+        num_events=np.int32(4))
+    with _pytest.raises(OverflowError):
+        pack_events_wire(ev)
