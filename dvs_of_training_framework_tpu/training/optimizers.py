@@ -132,13 +132,18 @@ def gradient_centralization() -> optax.GradientTransformation:
 
 
 def _base_transform(name: str, weight_decay: float, schedule,
-                    flatten: bool = True) -> optax.GradientTransformation:
+                    flatten: bool = False) -> optax.GradientTransformation:
     """Scale-by chain for one optimizer family + decoupled wd + lr.
 
     ``flatten`` wraps the chain in ``optax.flatten`` so the elementwise
     optimizer math runs over one contiguous buffer instead of ~200 small
-    per-leaf kernels (an XLA kernel-count / dispatch-tail optimization;
-    gradient centralization stays outside since it needs leaf shapes).
+    per-leaf kernels.  That was a round-1 win when the step was
+    dispatch-bound; the step is now device-bound and the wrapper's two
+    53 MB concats (grads + params) plus flat copies cost ~1.1 ms/step
+    (scripts/benchmarks/ab_optflat.py: 16.1 vs 17.2 ms on v5e), so
+    per-leaf is the default.  ``flatten=True`` (--flat-optimizer)
+    remains available to RESUME checkpoints written with the flat
+    optimizer state (the opt-state tree structures differ).
     """
     name = name.upper()
     if name == 'ADAM':
@@ -156,12 +161,9 @@ def _base_transform(name: str, weight_decay: float, schedule,
             optax.scale_by_radam(),
             optax.add_decayed_weights(weight_decay),
             optax.scale_by_schedule(lambda s: -schedule(s)))
-        # flatten wraps lookahead TOO: its slow-weight/sync math is
-        # elementwise, so running it over one contiguous buffer removes
-        # ~4 tree_maps x ~50 leaves of small kernels per step (profiled:
-        # the kernel-count tail dominates the staged step, PERFORMANCE.md
-        # round 3).  Only gradient centralization needs leaf shapes and
-        # stays outside.  Identical math, element for element.
+        # when flattening, wrap lookahead TOO (its slow-weight/sync math
+        # is elementwise); only gradient centralization needs leaf
+        # shapes and stays outside.  Identical math, element for element.
         wrapped = lookahead(core)
         if flatten:
             wrapped = optax.flatten(wrapped)
@@ -196,10 +198,13 @@ def construct_optimizer(args, params) -> optax.GradientTransformation:
             return optax.chain(optax.clip_by_global_norm(clip), tx)
         return tx
 
+    # --flat-optimizer: legacy flat opt-state layout (see _base_transform)
+    flatten = bool(getattr(args, 'flat_optimizer', False))
+
     pred_schedule = make_lr_schedule(args.lr, warmup, args.half_life)
     if not has_split_params(params):
         return with_clip(_base_transform(args.optimizer, args.wdw,
-                                         pred_schedule))
+                                         pred_schedule, flatten=flatten))
 
     repr_schedule = make_lr_schedule(
         args.lr, warmup, args.half_life,
@@ -210,9 +215,10 @@ def construct_optimizer(args, params) -> optax.GradientTransformation:
         for k in tree})
     return with_clip(optax.multi_transform(
         {'representation': _base_transform(args.optimizer, args.wdw,
-                                           repr_schedule),
+                                           repr_schedule,
+                                           flatten=flatten),
          'predictor': _base_transform(args.optimizer, args.wdw,
-                                      pred_schedule)},
+                                      pred_schedule, flatten=flatten)},
         label_fn))
 
 

@@ -32,8 +32,9 @@ def measure(flatten, iters):
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    for name, flag in [('flat', True), ('leaf', False),
-                       ('flat2', True), ('leaf2', False)]:
+    for name, flag in [('leaf', False), ('flat', True),
+                       ('leaf2', False), ('flat2', True),
+                       ('leaf3', False), ('flat3', True)]:
         dt, loss = measure(flag, iters)
         print(f'recipe opt={name:6s}: {dt * 1e3:7.2f} ms/step '
               f'({1 / dt:5.1f} b/s)  loss={loss:.6f}', flush=True)
