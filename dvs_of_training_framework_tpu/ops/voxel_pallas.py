@@ -234,8 +234,7 @@ def _pack_events(x, y, weights, num_planes, plane, valid, chunk):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def voxelize_pallas(x, y, plane, weights, valid,
-                    num_planes, height, width, chunk=1024,
-                    interpret=False):
+                    num_planes, height, width, chunk=256, interpret=False):
     """Pallas voxelization: drop-in for ``voxelize_scatter``.
 
     Args match ``ops.voxel.voxelize_scatter`` (events must be plane-major
