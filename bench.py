@@ -175,8 +175,10 @@ def measure_tpu(dtype='float32', loss_prec='highest'):
         jax.tree_util.tree_map(jnp.array, params), tx)
     n_run = 0
     t0 = None
+    wire_u16 = os.environ.get('BENCH_WIRE_TS', 'f32') == 'u16'
     for hosts, dev_window, n_valid, _sk in prefetch_windows(
-            iter(host_batches), lambda b: b, window=window, depth=2):
+            iter(host_batches), lambda b: b, window=window, depth=2,
+            quantize_ts=wire_u16):
         state_q, (loss_q, _) = fused_step(state_q, dev_window)
         n_run += n_valid
         if t0 is None:                 # first window = warmup + compile

@@ -32,7 +32,7 @@ def stack_batches(batches):
 
 
 def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
-                     place_fn=None):
+                     place_fn=None, quantize_ts: bool = False):
     """Yield ``(host_batches, device_window, n_valid)`` tuples.
 
     Args:
@@ -48,6 +48,10 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
             (default ``jax.device_put``); the mesh path passes
             ``shard_host_batch(..., window=True)`` here so the staged
             window lands with the right NamedSharding.
+        quantize_ts: use the uint16 event-timestamp wire (schema
+            ``pack_events_wire``; requires the packed wire, ignored on
+            the int16 fallback).  Held constant for the whole stream so
+            the window pytree structure never changes.
 
     Each yielded tuple:
         host_batches: the K (or fewer, for the final window) collated host
@@ -118,7 +122,9 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
                     # that don't fit -> the batch joins the skip report
                     pending.append((host_batch,
                                     compact_batch(prepared,
-                                                  pack=wire_pack[0])))
+                                                  pack=wire_pack[0],
+                                                  quantize_ts=quantize_ts
+                                                  and wire_pack[0])))
                 except OverflowError:
                     skipped.append(host_batch)
                     continue

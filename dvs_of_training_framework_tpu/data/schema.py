@@ -73,16 +73,25 @@ class PackedEventBuffer:
 
     ``packed`` holds, little-to-big: x (10 bits), y (10), polarity + 1
     (2), element_index (4), sample_index (6).  The timestamp stays
-    float32 (the loss normalises with it at full precision).  Only used
-    on the wire — ``expand_events`` unpacks back to an ``EventBuffer``
-    on device.  Packability is a STATIC property of the run
-    (image dims <= 1024, sequence length <= 16, batch size <= 63 — the
-    padding sentinel ``sample_index == batch_size`` must fit), so the
-    batch pytree structure never flips between steps.
+    float32 by default (the loss normalises with it at full precision).
+    Only used on the wire — ``expand_events`` unpacks back to an
+    ``EventBuffer`` on device.  Packability is a STATIC property of the
+    run (image dims <= 1024, sequence length <= 16, batch size <= 63 —
+    the padding sentinel ``sample_index == batch_size`` must fit), so
+    the batch pytree structure never flips between steps.
+
+    With the opt-in u16 timestamp wire (``--wire-timestamps u16``)
+    ``timestamp`` is uint16 quantized against the per-batch
+    ``timestamp_scale`` (f32 scalar): ``t ≈ u * scale`` with
+    ``scale = t_max / 65535`` — absolute error <= t_max / 131070
+    (~5 µs on a 0.64 s sample window, i.e. DVS-sensor-resolution
+    fidelity, but NOT lossless; the default f32 wire keeps exactness).
+    The choice is fixed per run so the wire pytree stays stable.
     """
     packed: jnp.ndarray
     timestamp: jnp.ndarray
     num_events: jnp.ndarray
+    timestamp_scale: Optional[jnp.ndarray] = None
 
 
 def packable(batch: Batch) -> bool:
@@ -115,13 +124,22 @@ def packable(batch: Batch) -> bool:
     return H <= 1024 and W <= 1024 and L <= 16 and batch.size <= 63
 
 
-def pack_events_wire(ev: EventBuffer) -> PackedEventBuffer:
+def pack_events_wire(ev: EventBuffer,
+                     quantize_ts: bool = False) -> PackedEventBuffer:
     """Host-side bit packing (numpy); inverse is in ``expand_events``.
+
+    Args:
+        quantize_ts: ship timestamps as uint16 against a per-batch f32
+            scale (t_max / 65535) instead of float32 — halves the
+            second-largest wire leg.  Opt-in: quantization error is
+            <= t_max / 131070 (see PackedEventBuffer docstring).
 
     Raises:
         OverflowError: when any field exceeds its bit width (x/y 10
             bits, polarity in {-1, 0, 1}, element_index 4 bits,
-            sample_index 6 bits) — silent corruption is never an option.
+            sample_index 6 bits), or (u16 wire) when a timestamp is
+            negative or non-finite — silent corruption is never an
+            option.
     """
     x = np.asarray(ev.x, np.int64)
     y = np.asarray(ev.y, np.int64)
@@ -144,12 +162,28 @@ def pack_events_wire(ev: EventBuffer) -> PackedEventBuffer:
                 f'(min {arr.min(initial=0)}, max {arr.max(initial=0)})')
     packed = (x | (y << 10) | (pol << 20) | (elem << 22)
               | (sample << 26)).astype(np.uint32)
+    timestamp = np.asarray(ev.timestamp, np.float32)
+    scale = None
+    if quantize_ts:
+        if not np.all(np.isfinite(timestamp)) or \
+                timestamp.min(initial=0.0) < 0:
+            raise OverflowError(
+                'u16 timestamp wire requires finite non-negative '
+                'timestamps (seconds from sample start)')
+        t_max = float(timestamp.max(initial=0.0))
+        scale_v = np.float32(t_max / 65535.0) if t_max > 0 \
+            else np.float32(1.0)
+        q = np.rint(timestamp / scale_v)
+        timestamp = np.minimum(q, 65535.0).astype(np.uint16)
+        scale = np.asarray(scale_v)
     return PackedEventBuffer(packed=packed,
-                             timestamp=ev.timestamp,
-                             num_events=ev.num_events)
+                             timestamp=timestamp,
+                             num_events=ev.num_events,
+                             timestamp_scale=scale)
 
 
-def compact_batch(batch: Batch, pack=None) -> Batch:
+def compact_batch(batch: Batch, pack=None, quantize_ts: bool = False
+                  ) -> Batch:
     """Narrow a device-ready Batch to compact wire dtypes: bit-packed
     uint32 event records when the run's shapes allow it (8 B/event),
     int16 coordinates/indices + int8 polarity otherwise, and uint8
@@ -167,12 +201,16 @@ def compact_batch(batch: Batch, pack=None) -> Batch:
         pack: tri-state — None decides per batch via ``packable``;
             streaming callers (device queue) pass an explicit bool,
             decided once, so the wire pytree structure stays constant.
+        quantize_ts: ship event timestamps as uint16 + per-batch scale
+            (packed wire only; ~5 µs absolute error on MVSEC-scale
+            windows — see PackedEventBuffer).  Like ``pack`` this must
+            be held constant across a streamed run.
     """
     ev = batch.events
     if pack is None:
         pack = packable(batch)
     if ev is not None and pack:
-        ev = pack_events_wire(ev)
+        ev = pack_events_wire(ev, quantize_ts=quantize_ts)
     elif ev is not None:
         # int16 holds VALUES (pixel coords < 32768, element/sample ids),
         # not buffer indices — any capacity is fine
@@ -199,10 +237,13 @@ def expand_events(ev) -> EventBuffer:
     """Device-side inverse of the EventBuffer leg of ``compact_batch``."""
     if isinstance(ev, PackedEventBuffer):
         p = ev.packed
+        timestamp = ev.timestamp
+        if timestamp.dtype != jnp.float32:   # u16 quantized wire
+            timestamp = timestamp.astype(jnp.float32) * ev.timestamp_scale
         return EventBuffer(
             x=(p & 0x3FF).astype(jnp.int32),
             y=((p >> 10) & 0x3FF).astype(jnp.int32),
-            timestamp=ev.timestamp,
+            timestamp=timestamp,
             polarity=(((p >> 20) & 0x3).astype(jnp.int32) - 1)
             .astype(jnp.float32),
             element_index=((p >> 22) & 0xF).astype(jnp.int32),

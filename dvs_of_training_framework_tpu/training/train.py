@@ -59,7 +59,8 @@ def train(train_step,
           window: int = 0,
           train_step_fused=None,
           place_window=None,
-          samples_scale: int = 1):
+          samples_scale: int = 1,
+          wire_timestamps: str = 'f32'):
     """Run the training loop.
 
     Args:
@@ -92,6 +93,10 @@ def train(train_step,
             ``prefetch_windows`` — required when ``prepare_batch`` is also
             set (mesh mode: prepare_batch splits on host, place_window
             uploads the stacked window with the mesh sharding).
+        wire_timestamps: 'f32' (default, exact) or 'u16' — quantize the
+            event-timestamp wire leg to uint16 + per-batch scale
+            (~5 µs absolute error; halves that upload leg — see
+            schema.PackedEventBuffer).  Device-queue path only.
         samples_scale: multiplier applied to every host batch's ``size``
             when accounting samples_passed — multi-host processes see only
             their ``1/process_count`` slice of each global batch, but
@@ -304,7 +309,8 @@ def train(train_step,
         from ..data.device_queue import prefetch_windows
         stream = prefetch_windows(iter(loader), make_device_batch,
                                   window=window, depth=prefetch_depth,
-                                  place_fn=place_window)
+                                  place_fn=place_window,
+                                  quantize_ts=wire_timestamps == 'u16')
         timers('batch_construction').start()
         done = False
         for host_batches, device_window, n_valid, skipped in stream:

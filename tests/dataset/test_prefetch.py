@@ -191,3 +191,101 @@ def test_packed_wire_rejects_fractional_polarity():
         num_events=np.int32(4))
     with _pytest.raises(OverflowError):
         pack_events_wire(ev)
+
+
+def test_u16_timestamp_wire_error_bound():
+    """The opt-in u16 timestamp wire reconstructs within the documented
+    bound (<= t_max / 131070 + one f32 ulp) and keeps zeros exact."""
+    import jax
+    from dvs_of_training_framework_tpu.data.schema import (
+        EventBuffer, expand_events, pack_events_wire)
+    rng = np.random.default_rng(3)
+    t = rng.uniform(0, 0.64, 1024).astype(np.float32)
+    t[:8] = 0.0                      # padding entries stay exactly 0
+    t[8] = 0.64                      # the max maps to u=65535 exactly
+    ev = EventBuffer(
+        x=np.zeros(1024, np.int32), y=np.zeros(1024, np.int32),
+        timestamp=t,
+        polarity=np.ones(1024, np.float32),
+        element_index=np.zeros(1024, np.int32),
+        sample_index=np.zeros(1024, np.int32),
+        num_events=np.int32(1024))
+    packed = pack_events_wire(ev, quantize_ts=True)
+    assert packed.timestamp.dtype == np.uint16
+    assert packed.timestamp_scale.dtype == np.float32
+    out = jax.jit(expand_events)(packed)
+    t_hat = np.asarray(out.timestamp)
+    assert t_hat.dtype == np.float32
+    np.testing.assert_array_equal(t_hat[:8], 0.0)
+    t_max = float(t.max())
+    bound = t_max / 131070 + np.spacing(np.float32(t_max))
+    assert np.abs(t_hat - t).max() <= bound
+    # exact wire (default) is untouched
+    exact = pack_events_wire(ev)
+    assert exact.timestamp.dtype == np.float32
+    assert exact.timestamp_scale is None
+
+
+def test_u16_timestamp_wire_rejects_bad_timestamps():
+    import pytest as _pytest
+    from dvs_of_training_framework_tpu.data.schema import (
+        EventBuffer, pack_events_wire)
+
+    def ev(t):
+        return EventBuffer(
+            x=np.zeros(4, np.int32), y=np.zeros(4, np.int32),
+            timestamp=np.asarray(t, np.float32),
+            polarity=np.ones(4, np.float32),
+            element_index=np.zeros(4, np.int32),
+            sample_index=np.zeros(4, np.int32),
+            num_events=np.int32(4))
+
+    for bad in ([0.0, -0.1, 0.2, 0.3], [0.0, np.nan, 0.2, 0.3],
+                [0.0, np.inf, 0.2, 0.3]):
+        with _pytest.raises(OverflowError):
+            pack_events_wire(ev(bad), quantize_ts=True)
+    # all-zero timestamps are fine (scale degenerates to 1)
+    packed = pack_events_wire(ev([0.0] * 4), quantize_ts=True)
+    assert packed.timestamp.dtype == np.uint16
+    assert float(packed.timestamp_scale) == 1.0
+
+
+def test_device_queue_u16_wire_trains_close_to_f32():
+    """Windows staged with the u16 timestamp wire train within the
+    quantization tolerance of the exact wire (same batches, same
+    seeds)."""
+    import jax
+    from dvs_of_training_framework_tpu.data.device_queue import \
+        prefetch_windows
+    from dvs_of_training_framework_tpu.data.schema import (
+        PackedEventBuffer, expand_batch, slice_window_batch)
+
+    batches = [make_host_batch(40, seed=s) for s in range(4)]
+
+    def prepare(b):
+        return pad_batch(b, capacity=64)
+
+    def collect(quantize_ts):
+        out = []
+        for _h, win, n_valid, _sk in prefetch_windows(
+                iter(batches), prepare, window=2, depth=1,
+                quantize_ts=quantize_ts):
+            for i in range(n_valid):
+                out.append(jax.jit(lambda w, i: expand_batch(
+                    slice_window_batch(w, i)))(win, i))
+        return out
+
+    exact = collect(False)
+    quant = collect(True)
+    assert len(exact) == len(quant) == 4
+    for e, q in zip(exact, quant):
+        assert isinstance(e.events, type(q.events))
+        t_e = np.asarray(e.events.timestamp)
+        t_q = np.asarray(q.events.timestamp)
+        t_max = t_e.max()
+        assert np.abs(t_e - t_q).max() <= t_max / 131070 + 1e-9
+        for name in ('x', 'y', 'polarity', 'element_index',
+                     'sample_index'):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(e.events, name)),
+                np.asarray(getattr(q.events, name)))

@@ -342,7 +342,8 @@ def main(argv=None):
             window=window,
             train_step_fused=train_step_fused,
             place_window=place_window,
-            samples_scale=n_proc)
+            samples_scale=n_proc,
+            wire_timestamps=args.wire_timestamps)
 
     state_holder['state'] = state
     samples = samples_passed
