@@ -234,3 +234,43 @@ def test_bf16x1_close_to_fp32_both_backends():
                                              backend, 'x1'))
         np.testing.assert_allclose(fast, ref, rtol=0, atol=255 * 2 ** -7,
                                    err_msg=str(backend))
+
+
+def test_charbonnier_custom_vjp_grads():
+    """The custom backward (alpha*u/s with the forward's own pow) agrees
+    with plain autodiff of the same expression to rounding."""
+    import jax
+    from dvs_of_training_framework_tpu.ops import charbonnier_loss
+
+    rng = np.random.default_rng(7)
+    delta = rng.normal(0, 2.0, (4, 2, 33, 33)).astype(np.float32)
+    mask = rng.uniform(size=delta.shape) < 0.5
+    den = np.abs(rng.normal(1.0, 0.2, delta.shape)).astype(np.float32)
+
+    def plain(d, **kw):
+        value = jnp.power(d * d + 1e-3 ** 2, 0.45)
+        kw2 = dict(kw)
+        m = kw2.get('mask')
+        dn = kw2.get('denominator')
+        if dn is not None:
+            safe = jnp.where(dn > 0, dn, 1.0)
+            value = value / safe
+            if m is None:
+                return value.sum()
+            return jnp.where(m & (dn > 0), value, 0.0).sum()
+        if m is None:
+            return value.mean()
+        count = m.sum()
+        total = jnp.where(m, value, 0.0).sum()
+        return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+    for kw in ({}, {'mask': jnp.asarray(mask)},
+               {'mask': jnp.asarray(mask), 'denominator': jnp.asarray(den)}):
+        v = float(charbonnier_loss(jnp.asarray(delta), **kw))
+        v_ref = float(plain(jnp.asarray(delta), **kw))
+        assert abs(v - v_ref) < 1e-7 * max(abs(v_ref), 1), kw
+        g = np.asarray(jax.grad(
+            lambda d: charbonnier_loss(d, **kw))(jnp.asarray(delta)))
+        g_ref = np.asarray(jax.grad(plain)(jnp.asarray(delta), **kw))
+        np.testing.assert_allclose(g, g_ref, rtol=2e-6, atol=1e-12,
+                                   err_msg=str(kw))
