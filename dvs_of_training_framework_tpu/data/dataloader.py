@@ -8,11 +8,14 @@ assembly replaces torch's DataLoader with a thread-pooled loader
 queue that keeps the TPU fed.
 """
 import itertools
+import os
 from pathlib import Path
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from types import SimpleNamespace
+
+import numpy as np
 
 from ..utils.common import is_inside_docker
 from .collate import collate_dense_wrapper, collate_wrapper
@@ -46,6 +49,7 @@ def get_common_dataset_params(args):
         shape=args.shape,
         batch_size=args.mbs,
         num_workers=args.num_workers,
+        worker_mode=getattr(args, 'worker_mode', 'thread'),
         min_seq_length=args.min_sequence_length,
         max_seq_length=args.max_sequence_length,
         is_static_seq_length=not args.dynamic_sample_length)
@@ -82,21 +86,37 @@ def get_valset_params(args):
 
 
 class HostDataLoader:
-    """Collated batch loader with worker threads + prefetch.
+    """Collated batch loader with worker threads/processes + prefetch.
 
     For a finite dataset iterates once; for an IterableDataset streams
-    forever.  ``num_workers`` threads load/augment samples concurrently;
+    forever.  ``num_workers`` workers load/augment samples concurrently;
     up to ``prefetch`` collated batches are staged ahead.
+
+    ``worker_mode`` selects the worker kind:
+
+    - ``'thread'`` (default): cheap, shares the dataset object; HDF5 and
+      NumPy release the GIL for the heavy reads, but the Python-level
+      augmentation math serialises — measured ~1.8x at 4 threads on one
+      core (PERFORMANCE.md feed-rate matrix).
+    - ``'process'``: a forked worker pool (the raw augmenting path is
+      GIL-bound at scale; the reference gets the same effect from
+      torch DataLoader's worker processes).  Each worker re-seeds
+      ``np.random`` so augmentation draws do not repeat across the
+      forked copies; samples return to the parent by pickle.  Requires
+      a picklable dataset impl (DatasetImpl holds no live HDF5 handles).
     """
 
     def __init__(self, dataset, batch_size, collate_fn=collate_wrapper,
-                 num_workers=0, prefetch=2, drop_last=False):
+                 num_workers=0, prefetch=2, drop_last=False,
+                 worker_mode='thread'):
+        assert worker_mode in ('thread', 'process'), worker_mode
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.num_workers = max(0, num_workers)
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
+        self.worker_mode = worker_mode
         self.infinite = not hasattr(dataset, '__len__')
 
     def __len__(self):
@@ -114,7 +134,25 @@ class HostDataLoader:
         else:
             indices = iter(range(len(self.dataset)))
             impl = self.dataset
-        if self.num_workers > 0:
+        if self.num_workers > 0 and self.worker_mode == 'process':
+            # fork (not spawn): spawn would re-import the interpreter —
+            # including this environment's sitecustomize, which selects a
+            # TPU platform — per worker; forked children inherit the
+            # parent cheaply and never touch jax.  Each worker re-seeds
+            # np.random (forked copies share the parent's state and
+            # would draw IDENTICAL augmentations otherwise).
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+            ctx = multiprocessing.get_context('fork')
+            seed = int.from_bytes(os.urandom(4), 'little')
+            with ProcessPoolExecutor(
+                    self.num_workers, mp_context=ctx,
+                    initializer=_process_worker_init,
+                    initargs=(impl, seed)) as pool:
+                samples = _lazy_map(pool, _process_worker_getitem, indices,
+                                    window=2 * self.num_workers)
+                yield from self._batches_from(samples)
+        elif self.num_workers > 0:
             with ThreadPoolExecutor(self.num_workers) as pool:
                 samples = _lazy_map(pool, impl.__getitem__, indices,
                                     window=2 * self.num_workers)
@@ -181,6 +219,21 @@ class HostDataLoader:
             thread.join(timeout=10)
 
 
+_WORKER_IMPL = None
+
+
+def _process_worker_init(impl, seed):
+    """Forked-worker initializer: install the dataset impl and de-alias
+    the inherited np.random state (each worker gets seed + pid)."""
+    global _WORKER_IMPL
+    _WORKER_IMPL = impl
+    np.random.seed((seed + os.getpid()) % 2 ** 32)
+
+
+def _process_worker_getitem(idx):
+    return _WORKER_IMPL[idx]
+
+
 def _lazy_map(pool, fn, it, window):
     """Pool map with a bounded in-flight window (safe for infinite
     iterators, unlike ``Executor.map`` which consumes eagerly)."""
@@ -232,4 +285,6 @@ def get_dataloader(params, sample_idx=0, process_only_once=True,
     return HostDataLoader(get_dataset(params, event_image_fn),
                           batch_size=params.batch_size,
                           collate_fn=collate_fn,
-                          num_workers=params.num_workers)
+                          num_workers=params.num_workers,
+                          worker_mode=getattr(params, 'worker_mode',
+                                              'thread'))

@@ -262,3 +262,49 @@ def test_collate():
     assert (batch['sample_idx'] == gt_sample_idx).all()
     assert (batch['images'] == gt_images).all()
     assert batch['size'] == 2
+
+
+def test_process_worker_loader_matches_thread_loader():
+    """worker_mode='process' (forked pool) yields the same batches as the
+    thread pool on a deterministic (augmentation-off) finite dataset."""
+    from dvs_of_training_framework_tpu.data.dataloader import HostDataLoader
+
+    def make_loader(mode):
+        ds = Dataset(path=data_path, shape=(64, 64), augmentation=False,
+                     collapse_length=1, min_seq_length=1, max_seq_length=1,
+                     is_static_seq_length=True, is_raw=True)
+        return HostDataLoader(ds, batch_size=2, num_workers=2,
+                              worker_mode=mode)
+
+    thread_batches = list(make_loader('thread'))
+    process_batches = list(make_loader('process'))
+    assert len(thread_batches) == len(process_batches) > 0
+    for t, p in zip(thread_batches, process_batches):
+        assert t['size'] == p['size']
+        for key in ('timestamps', 'sample_idx', 'images'):
+            np.testing.assert_array_equal(np.asarray(t[key]),
+                                          np.asarray(p[key]), err_msg=key)
+        for key, val in t['events'].items():
+            np.testing.assert_array_equal(np.asarray(val),
+                                          np.asarray(p['events'][key]),
+                                          err_msg=key)
+
+
+def test_process_worker_loader_augmented_stream():
+    """Forked workers draw de-aliased augmentations and stream an
+    infinite augmented dataset without deadlock."""
+    import itertools
+    from dvs_of_training_framework_tpu.data.dataset import IterableDataset
+    from dvs_of_training_framework_tpu.data.dataloader import HostDataLoader
+
+    ds = IterableDataset(path=data_path, shape=(64, 64), augmentation=True,
+                         collapse_length=1, min_seq_length=1,
+                         max_seq_length=1, is_static_seq_length=True,
+                         is_raw=True, shuffle=True)
+    loader = HostDataLoader(ds, batch_size=2, num_workers=2,
+                            worker_mode='process')
+    batches = list(itertools.islice(iter(loader), 3))
+    assert len(batches) == 3
+    for b in batches:
+        assert b['size'] == 2
+        assert b['events']['x'].size > 0
