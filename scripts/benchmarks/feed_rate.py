@@ -39,14 +39,16 @@ def time_iter(it, iters, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
-def raw_rate(path, batch_size, iters, num_workers, shape=(256, 256)):
+def raw_rate(path, batch_size, iters, num_workers, shape=(256, 256),
+             worker_mode='thread'):
     from dvs_of_training_framework_tpu.data.dataloader import HostDataLoader
     from dvs_of_training_framework_tpu.data.dataset import IterableDataset
     ds = IterableDataset(path=path, shape=list(shape), augmentation=True,
                          collapse_length=1, is_raw=True, shuffle=True,
                          max_seq_length=1)
     loader = HostDataLoader(ds, batch_size=batch_size,
-                            num_workers=num_workers)
+                            num_workers=num_workers,
+                            worker_mode=worker_mode)
     return time_iter(iter(loader), iters)
 
 
@@ -104,6 +106,10 @@ def main():
             dt = raw_rate(args.raw_path, args.batch_size, args.iters,
                           workers)
             rows[f'raw(workers={workers})'] = dt
+        for workers in (2, 4):
+            dt = raw_rate(args.raw_path, args.batch_size, args.iters,
+                          workers, worker_mode='process')
+            rows[f'raw(procs={workers})'] = dt
     if args.preprocessed:
         dt = preprocessed_rate(args.preprocessed, args.batch_size,
                                args.iters)
