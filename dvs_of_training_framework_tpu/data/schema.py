@@ -107,21 +107,28 @@ def packable(batch: Batch) -> bool:
     exceed the mean-derived element bound), which the device queue
     turns into a skipped-and-reported batch instead of corruption.
 
-    The mesh path's window batches carry extra leading axes (5-D
-    images) and keep the int16 wire — packing there would need the
-    per-shard split thread the same decision through; left unpacked
-    and documented (PERFORMANCE.md).
+    Mesh-split batches (``split_batch_for_mesh``: leading shard axis,
+    5-D images, per-shard-localised sample indices) pack too — the bit
+    bounds then apply to the PER-SHARD sample count (the padding
+    sentinel is ``size / n_shards``).
     """
     if batch.events is None or batch.images is None:
         return False
-    if batch.images.ndim != 4:
+    if batch.images.ndim == 4:          # single-device layout
+        size = batch.size
+    elif batch.images.ndim == 5:        # mesh layout: [shard, D, 1, H, W]
+        n_shards = batch.images.shape[0]
+        if n_shards == 0 or batch.size % n_shards:
+            return False
+        size = batch.size // n_shards   # per-shard samples (the sentinel)
+    else:
         return False
     H, W = batch.images.shape[-2:]
-    num_ts = batch.timestamps.shape[0]
-    if num_ts % batch.size:
+    num_ts = batch.timestamps.shape[-1]
+    if size == 0 or num_ts % size:
         return False
-    L = num_ts // batch.size - 1
-    return H <= 1024 and W <= 1024 and L <= 16 and batch.size <= 63
+    L = num_ts // size - 1
+    return H <= 1024 and W <= 1024 and L <= 16 and size <= 63
 
 
 def pack_events_wire(ev: EventBuffer,
@@ -170,12 +177,15 @@ def pack_events_wire(ev: EventBuffer,
             raise OverflowError(
                 'u16 timestamp wire requires finite non-negative '
                 'timestamps (seconds from sample start)')
-        t_max = float(timestamp.max(initial=0.0))
-        scale_v = np.float32(t_max / 65535.0) if t_max > 0 \
-            else np.float32(1.0)
-        q = np.rint(timestamp / scale_v)
+        # one scale per leading index (mesh-split buffers carry shard
+        # axes before the capacity axis; flat buffers get a () scale)
+        t_max = timestamp.max(axis=-1, initial=0.0) \
+            if timestamp.ndim else np.float32(0.0)
+        scale_v = np.where(t_max > 0, t_max / np.float32(65535.0),
+                           np.float32(1.0)).astype(np.float32)
+        q = np.rint(timestamp / scale_v[..., None])
         timestamp = np.minimum(q, 65535.0).astype(np.uint16)
-        scale = np.asarray(scale_v)
+        scale = scale_v
     return PackedEventBuffer(packed=packed,
                              timestamp=timestamp,
                              num_events=ev.num_events,
@@ -239,7 +249,8 @@ def expand_events(ev) -> EventBuffer:
         p = ev.packed
         timestamp = ev.timestamp
         if timestamp.dtype != jnp.float32:   # u16 quantized wire
-            timestamp = timestamp.astype(jnp.float32) * ev.timestamp_scale
+            timestamp = timestamp.astype(jnp.float32) \
+                * jnp.expand_dims(ev.timestamp_scale, -1)
         return EventBuffer(
             x=(p & 0x3FF).astype(jnp.int32),
             y=((p >> 10) & 0x3FF).astype(jnp.int32),

@@ -289,3 +289,60 @@ def test_device_queue_u16_wire_trains_close_to_f32():
             np.testing.assert_array_equal(
                 np.asarray(getattr(e.events, name)),
                 np.asarray(getattr(q.events, name)))
+
+
+def test_mesh_split_batch_packs_and_roundtrips():
+    """split_batch_for_mesh output (leading shard axes, localised sample
+    indices) packs to the uint32 wire and expands losslessly — including
+    event-axis shards and the u16 timestamp leg."""
+    import jax
+    from dvs_of_training_framework_tpu.data.schema import (
+        PackedEventBuffer, compact_batch, expand_batch, packable)
+    from dvs_of_training_framework_tpu.parallel.mesh import \
+        split_batch_for_mesh
+
+    rng = np.random.default_rng(5)
+    n_events, size = 160, 4
+    collated = {
+        'events': {
+            'x': rng.integers(0, 32, n_events),
+            'y': rng.integers(0, 32, n_events),
+            'timestamp': rng.uniform(0, 0.04, n_events).astype(np.float32),
+            'polarity': rng.choice([-1.0, 1.0], n_events),
+            'element_index': np.zeros(n_events, np.int64),
+            'sample_index': np.sort(rng.integers(0, size, n_events)),
+        },
+        'timestamps': np.tile(np.array([0, 0.04], np.float32), size),
+        'sample_idx': np.repeat(np.arange(size), 2),
+        'images': rng.integers(0, 255, (2 * size, 1, 32, 32))
+        .astype(np.float32),
+        'size': size,
+    }
+    for event_shards in (1, 2):
+        batch = split_batch_for_mesh(collated, 2, capacity_per_shard=128,
+                                     event_shards=event_shards)
+        assert packable(batch), event_shards
+        for quant in (False, True):
+            compact = compact_batch(batch, quantize_ts=quant)
+            assert isinstance(compact.events, PackedEventBuffer)
+            lead = (2,) if event_shards == 1 else (2, 2)
+            assert compact.events.packed.shape == lead + (128,)
+            if quant:
+                assert compact.events.timestamp.dtype == np.uint16
+                assert compact.events.timestamp_scale.shape == lead
+            restored = jax.jit(expand_batch)(compact)
+            for name in ('x', 'y', 'polarity', 'element_index',
+                         'sample_index'):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(restored.events, name)),
+                    np.asarray(getattr(batch.events, name)),
+                    err_msg=f'{name} shards={event_shards} q={quant}')
+            t = np.asarray(batch.events.timestamp)
+            t_hat = np.asarray(restored.events.timestamp)
+            if quant:
+                bound = t.max() / 131070 + 1e-9
+                assert np.abs(t_hat - t).max() <= bound
+            else:
+                np.testing.assert_array_equal(t_hat, t)
+            np.testing.assert_array_equal(np.asarray(restored.images),
+                                          np.asarray(batch.images))
