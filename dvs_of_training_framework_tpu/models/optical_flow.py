@@ -12,7 +12,8 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from ..data.schema import EventBuffer, default_buckets, round_up_to_bucket
+from ..data.schema import (EventBuffer, default_buckets, expand_events,
+                           pack_events_wire, round_up_to_bucket)
 
 
 class BaseOpticalFlow:
@@ -49,8 +50,12 @@ class BaseOpticalFlow:
             ev, ts, si = self._dummy_inputs()
             self._params = self._net.init(rng, ev, ts, si,
                                           self.imsize)['params']
+        # expand_events is a no-op for plain EventBuffers and unpacks the
+        # 8 B/event wire records on device — inference uploads ride the
+        # same compact wire as training (schema.pack_events_wire)
         self._apply = jax.jit(
-            lambda p, e, t, s: self._net.apply({'params': p}, e, t, s,
+            lambda p, e, t, s: self._net.apply({'params': p},
+                                               expand_events(e), t, s,
                                                self.imsize),
             static_argnames=())
 
@@ -90,6 +95,14 @@ class BaseOpticalFlow:
               'sample_index': sample_index}
         capacity = round_up_to_bucket(flat.shape[1], self._buckets)
         buf = pad_events(ev, batch_size=len(start), capacity=capacity)
+        H, W = self.imsize
+        if H <= 1024 and W <= 1024 and len(start) <= 63:
+            try:
+                # 8 B/event upload instead of 13; unpacked on device by
+                # the expand_events wrapped into self._apply
+                buf = pack_events_wire(buf)
+            except OverflowError:
+                pass  # out-of-bound field values: ship the exact wire
         return buf, (timestamps - min_t).astype(np.float32), \
             sample_idx.astype(np.int32)
 
