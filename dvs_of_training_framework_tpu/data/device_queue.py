@@ -32,7 +32,8 @@ def stack_batches(batches):
 
 
 def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
-                     place_fn=None, quantize_ts: bool = False):
+                     place_fn=None, quantize_ts: bool = False,
+                     pool_events: bool = False):
     """Yield ``(host_batches, device_window, n_valid)`` tuples.
 
     Args:
@@ -52,6 +53,15 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
             ``pack_events_wire``; requires the packed wire, ignored on
             the int16 fallback).  Held constant for the whole stream so
             the window pytree structure never changes.
+        pool_events: ship only VALID events per window (one flat pool +
+            per-batch offsets, ``schema.PooledEventWire``) instead of K
+            capacity-padded buffers — bit-identical values, ~`1 - fill`
+            fewer event bytes on the wire.  Requires the packed wire
+            (falls back to padded stacking otherwise) and is not
+            composable with a mesh ``place_fn`` (the pool has no shard
+            axis).  The pool length grows monotonically (largest seen),
+            so shape-driven recompiles are bounded by upward drift in
+            the window's event count.
 
     Each yielded tuple:
         host_batches: the K (or fewer, for the final window) collated host
@@ -89,8 +99,9 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
             # pack_events_wire value-checks every batch and raises
             # OverflowError for fields that no longer fit (ragged
             # streams), which lands in the skipped-batch report path.
-            from .schema import compact_batch, packable
+            from .schema import compact_batch, packable, pool_packed_wires
             wire_pack = [None]
+            min_pool = [0]   # monotonic pool length (see pool_events doc)
 
             def flush():
                 if not pending:
@@ -99,7 +110,16 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
                 n_valid = len(prepared)
                 padded = list(prepared) + [prepared[-1]] * \
                     (window - n_valid)
-                device_window = place_fn(stack_batches(padded))
+                if pool_events and wire_pack[0]:
+                    wire = pool_packed_wires([b.events for b in padded],
+                                             n_valid, min_pool=min_pool[0])
+                    min_pool[0] = int(wire.packed.shape[0])
+                    stacked = stack_batches(
+                        [b.replace(events=None) for b in padded])
+                    window_tree = stacked.replace(events=wire)
+                else:
+                    window_tree = stack_batches(padded)
+                device_window = place_fn(window_tree)
                 # materialise on this thread so the consumer never blocks
                 # on (or interleaves with) an in-flight transfer
                 jax.block_until_ready(device_window)

@@ -94,6 +94,121 @@ class PackedEventBuffer:
     timestamp_scale: Optional[jnp.ndarray] = None
 
 
+@struct.dataclass
+class PooledEventWire:
+    """Window-level event pool: only VALID events ride the wire.
+
+    The padded wire ships ``K x capacity`` event records per device-queue
+    window even though batches average well under full capacity (52% in
+    the accuracy config's shards) — and upload bytes linearly bound the
+    as-trained rate under this runtime's slow H2D mode (the D2H poison,
+    PERFORMANCE.md).  The pooled wire concatenates each batch's leading
+    ``num_events`` packed records into ONE flat pool plus per-batch
+    ``offsets``; on device, step ``k`` takes a capacity-sized
+    ``dynamic_slice`` at ``offsets[k]`` and re-derives the padding-
+    sentinel layout (``slice_pooled_events``) — bit-identical to the
+    padded wire, ~`1 - fill` fewer event bytes on the wire.
+
+    ``capacity`` is static (part of the jit cache key).  The pool length
+    is ``ceil(sum / granule) * granule + capacity`` — the ``+ capacity``
+    tail keeps every slice in bounds without clamping (a clamped start
+    would silently misalign the slice), and the granule quantisation
+    bounds recompiles.
+
+    Attributes:
+        packed: uint32 ``[P]`` bit-packed event records (pool).
+        timestamp: float32 (or uint16, u16 wire) ``[P]`` (pool).
+        offsets: int32 ``[K]`` start of each batch's events in the pool.
+        num_events: int32 ``[K]`` valid events per batch.
+        timestamp_scale: float32 ``[K]`` per-batch u16 scales, or None.
+        capacity: static per-batch event capacity (the sliced size).
+    """
+    packed: jnp.ndarray
+    timestamp: jnp.ndarray
+    offsets: jnp.ndarray
+    num_events: jnp.ndarray
+    timestamp_scale: Optional[jnp.ndarray] = None
+    capacity: int = struct.field(pytree_node=False, default=0)
+
+
+def pool_packed_wires(buffers, n_valid: int, granule: int = 0,
+                      min_pool: int = 0) -> PooledEventWire:
+    """Build a window event pool from K per-batch ``PackedEventBuffer``s.
+
+    Args:
+        buffers: K compacted wires (``pack_events_wire`` output; valid
+            events lead, ``packed.shape[0]`` is the capacity).
+        n_valid: real batches in the window; entries past it are repeat
+            padding and alias the last real batch's pool region instead
+            of duplicating its bytes.
+        granule: pool-length quantum (default: the capacity) — coarser
+            granules mean fewer distinct shapes, i.e. fewer recompiles.
+        min_pool: lower bound on the pool length (callers keep it at the
+            largest pool built so far, so shapes grow monotonically and
+            a small final window reuses an already-compiled shape).
+    """
+    capacity = int(buffers[0].packed.shape[0])
+    granule = granule or capacity
+    ns = [int(np.asarray(b.num_events)) for b in buffers[:n_valid]]
+    offsets = np.zeros(len(buffers), np.int32)
+    offsets[:n_valid] = np.cumsum([0] + ns[:-1], dtype=np.int64)
+    offsets[n_valid:] = offsets[n_valid - 1]
+    nums = np.asarray(ns + [ns[-1]] * (len(buffers) - n_valid), np.int32)
+    total = int(sum(ns))
+    pool_len = max(-(-max(total, 1) // granule) * granule + capacity,
+                   min_pool)
+    packed = np.zeros(pool_len, np.uint32)
+    ts_dtype = np.asarray(buffers[0].timestamp).dtype
+    timestamp = np.zeros(pool_len, ts_dtype)
+    pos = 0
+    for b, n in zip(buffers[:n_valid], ns):
+        packed[pos:pos + n] = np.asarray(b.packed)[:n]
+        timestamp[pos:pos + n] = np.asarray(b.timestamp)[:n]
+        pos += n
+    scale = None
+    if buffers[0].timestamp_scale is not None:
+        scale = np.stack([np.float32(np.asarray(b.timestamp_scale))
+                          for b in buffers]).astype(np.float32)
+    return PooledEventWire(packed=packed, timestamp=timestamp,
+                           offsets=offsets, num_events=nums,
+                           timestamp_scale=scale, capacity=capacity)
+
+
+def slice_pooled_events(ev: PooledEventWire, idx,
+                        batch_size: int) -> EventBuffer:
+    """Device-side batch ``idx`` of a window pool -> expanded EventBuffer.
+
+    Bit-identical to slicing the padded wire then ``expand_events``: the
+    slice may start mid-pool (neighbouring batches' records fill the
+    tail), so every field is re-masked to the ``pad_events`` padding
+    layout (zeros, ``sample_index == batch_size``) before use.
+    """
+    import jax
+    C = ev.capacity
+    off = jax.lax.dynamic_index_in_dim(ev.offsets, idx, 0, keepdims=False)
+    n = jax.lax.dynamic_index_in_dim(ev.num_events, idx, 0, keepdims=False)
+    p = jax.lax.dynamic_slice(ev.packed, (off,), (C,))
+    t = jax.lax.dynamic_slice(ev.timestamp, (off,), (C,))
+    if t.dtype != jnp.float32:   # u16 quantized wire
+        scale = jax.lax.dynamic_index_in_dim(ev.timestamp_scale, idx, 0,
+                                             keepdims=False)
+        t = t.astype(jnp.float32) * scale
+    valid = jnp.arange(C, dtype=jnp.int32) < n
+    zero = jnp.zeros([], jnp.int32)
+    return EventBuffer(
+        x=jnp.where(valid, (p & 0x3FF).astype(jnp.int32), zero),
+        y=jnp.where(valid, ((p >> 10) & 0x3FF).astype(jnp.int32), zero),
+        timestamp=jnp.where(valid, t, 0.0),
+        polarity=jnp.where(
+            valid, (((p >> 20) & 0x3).astype(jnp.int32) - 1), zero
+        ).astype(jnp.float32),
+        element_index=jnp.where(valid, ((p >> 22) & 0xF).astype(jnp.int32),
+                                zero),
+        sample_index=jnp.where(valid, ((p >> 26) & 0x3F).astype(jnp.int32),
+                               jnp.int32(batch_size)),
+        num_events=n)
+
+
 def packable(batch: Batch) -> bool:
     """May this batch's event wire use ``PackedEventBuffer``?
 
@@ -294,7 +409,9 @@ def slice_window_batch(batch: Batch, idx) -> Batch:
         return jax.lax.dynamic_index_in_dim(x, idx, 0, keepdims=False)
 
     events = batch.events
-    if events is not None:
+    if isinstance(events, PooledEventWire):
+        events = slice_pooled_events(events, idx, batch.size)
+    elif events is not None:
         events = jax.tree_util.tree_map(take, events)
     return Batch(events=events,
                  data=None if batch.data is None else take(batch.data),

@@ -179,6 +179,19 @@ def make_fused_window_step(model, evaluator, tx, weights,
         return new_state, (loss * inv, terms)
 
     def fused(state, window_batch):
+        from ..data.schema import PooledEventWire, slice_window_batch
+        if isinstance(window_batch.events, PooledEventWire):
+            # pooled event wire: the flat pool cannot ride the scan's xs
+            # (no leading K axis); scan over the step index instead and
+            # let slice_window_batch cut batch k out of the closure-
+            # captured window (dynamic_slice at offsets[k] for events,
+            # dynamic_index_in_dim for the stacked leaves — the same op
+            # scan xs slicing lowers to)
+            def body_pooled(st, idx):
+                return body(st, slice_window_batch(window_batch, idx))
+            return jax.lax.scan(body_pooled, state,
+                                jnp.arange(window, dtype=jnp.int32),
+                                length=window)
         return jax.lax.scan(body, state, window_batch, length=window)
 
     return jax.jit(fused, donate_argnums=(0,))

@@ -60,7 +60,8 @@ def train(train_step,
           train_step_fused=None,
           place_window=None,
           samples_scale: int = 1,
-          wire_timestamps: str = 'f32'):
+          wire_timestamps: str = 'f32',
+          wire_events: str = 'padded'):
     """Run the training loop.
 
     Args:
@@ -97,6 +98,11 @@ def train(train_step,
             event-timestamp wire leg to uint16 + per-batch scale
             (~5 µs absolute error; halves that upload leg — see
             schema.PackedEventBuffer).  Device-queue path only.
+        wire_events: 'padded' (default) or 'pooled' — pool only the
+            VALID events of each window on the wire (bit-identical
+            values, ~`1 - fill` fewer event bytes; see
+            schema.PooledEventWire).  Device-queue path only; not
+            composable with a mesh ``place_window``.
         samples_scale: multiplier applied to every host batch's ``size``
             when accounting samples_passed — multi-host processes see only
             their ``1/process_count`` slice of each global batch, but
@@ -306,11 +312,15 @@ def train(train_step,
             f'resumed micro_step {micro0} is not aligned to the device-' \
             f'queue window {window}; train with a window that divides ' \
             'the checkpoint cadence or disable the device queue'
+        assert wire_events == 'padded' or place_window is None, \
+            '--wire-events pooled is not composable with mesh mode: the ' \
+            'event pool has no shard axis for the mesh place_window'
         from ..data.device_queue import prefetch_windows
         stream = prefetch_windows(iter(loader), make_device_batch,
                                   window=window, depth=prefetch_depth,
                                   place_fn=place_window,
-                                  quantize_ts=wire_timestamps == 'u16')
+                                  quantize_ts=wire_timestamps == 'u16',
+                                  pool_events=wire_events == 'pooled')
         timers('batch_construction').start()
         done = False
         for host_batches, device_window, n_valid, skipped in stream:

@@ -151,6 +151,51 @@ def test_packed_wire_boundary_values():
                                       err_msg=name)
 
 
+def test_pooled_wire_slices_match_padded():
+    """Every device slice of a window event pool reproduces the padded
+    wire's expanded EventBuffer bit-for-bit — including the padding
+    layout (zeros, sample sentinel), the masking of neighbouring
+    batches' records that fill the slice tail, the repeat-padded window
+    tail, the u16 timestamp wire, and the monotonic ``min_pool`` floor.
+    """
+    import jax
+    from dvs_of_training_framework_tpu.data.schema import (
+        expand_events, pack_events_wire, pool_packed_wires,
+        slice_pooled_events)
+
+    for quantize_ts in (False, True):
+        batches = [pad_batch(make_host_batch(n, seed=n), capacity=64)
+                   for n in (10, 64, 0)]
+        wires = [pack_events_wire(b.events, quantize_ts=quantize_ts)
+                 for b in batches]
+        # repeat-padded window: 3 real batches, window of 4
+        pool = pool_packed_wires(wires + [wires[-1]], n_valid=3)
+        assert pool.capacity == 64
+        assert pool.packed.shape[0] % 64 == 0
+        expected = [jax.jit(expand_events)(w) for w in wires]
+        slicer = jax.jit(lambda ev, i: slice_pooled_events(ev, i, 1))
+        for k, exp in enumerate(expected + [expected[-1]]):
+            got = slicer(pool, k)
+            for name in ('x', 'y', 'timestamp', 'polarity',
+                         'element_index', 'sample_index', 'num_events'):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got, name)),
+                    np.asarray(getattr(exp, name)),
+                    err_msg=f'{name} (batch {k}, u16={quantize_ts})')
+        # padding entries carry the pad_events sentinel layout
+        got0 = slicer(pool, 0)
+        assert np.all(np.asarray(got0.sample_index)[10:] == 1)
+        assert np.all(np.asarray(got0.x)[10:] == 0)
+        # monotonic floor: a larger min_pool only grows the buffer
+        big = pool_packed_wires(wires + [wires[-1]], n_valid=3,
+                                min_pool=1024)
+        assert big.packed.shape[0] == 1024
+        got_big = jax.jit(lambda ev, i: slice_pooled_events(ev, i, 1))(
+            big, 1)
+        np.testing.assert_array_equal(np.asarray(got_big.x),
+                                      np.asarray(expected[1].x))
+
+
 def test_packed_wire_rejects_out_of_range():
     """Out-of-range fields raise OverflowError (-> the device queue's
     skip-and-report path) instead of silently corrupting neighbours."""

@@ -50,7 +50,7 @@ def make_setup(n_batches):
 
 
 def run(model, params, tx, evaluator, batches, window, num_steps,
-        fused=False):
+        fused=False, wire_events='padded'):
     step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
                            accumulation_steps=1, window=window)
     step_fused = None
@@ -67,7 +67,8 @@ def run(model, params, tx, evaluator, batches, window, num_steps,
                                                 '32x32'],
                            event_capacity=4096, window=window,
                            metric_flush_steps=2,
-                           train_step_fused=step_fused)
+                           train_step_fused=step_fused,
+                           wire_events=wire_events)
     return state, samples, logger
 
 
@@ -129,6 +130,33 @@ def test_fused_partial_tail_falls_back():
     setup = make_setup(5)
     assert_same(run(*setup, window=0, num_steps=5),
                 run(*setup, window=2, num_steps=5, fused=True),
+                exact=False)
+
+
+def test_pooled_wire_matches_per_batch():
+    """--wire-events pooled (one flat pool of valid events per window,
+    schema.PooledEventWire) must train bit-identically to per-batch
+    training — only the wire layout changes, never a value."""
+    setup = make_setup(4)
+    assert_same(run(*setup, window=0, num_steps=4),
+                run(*setup, window=2, num_steps=4, wire_events='pooled'))
+
+
+def test_pooled_wire_partial_final_window():
+    """The repeat-padded final window aliases the last real batch's pool
+    region; only the valid slices are stepped."""
+    setup = make_setup(3)
+    assert_same(run(*setup, window=0, num_steps=3),
+                run(*setup, window=2, num_steps=3, wire_events='pooled'))
+
+
+def test_pooled_wire_fused_matches_padded_fused():
+    """The fused scan's pooled branch (index scan + dynamic_slice into
+    the pool) must match the padded xs-scan."""
+    setup = make_setup(4)
+    assert_same(run(*setup, window=2, num_steps=4, fused=True),
+                run(*setup, window=2, num_steps=4, fused=True,
+                    wire_events='pooled'),
                 exact=False)
 
 

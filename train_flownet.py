@@ -195,6 +195,9 @@ def main(argv=None):
         assert not args.dynamic_sample_length, \
             '--mesh with --dynamic-sample-length is not supported: the ' \
             'mesh batch split expects equal per-shard timestamp counts'
+        assert args.wire_events == 'padded', \
+            '--wire-events pooled is not composable with --mesh: the ' \
+            'event pool has no shard axis'
         mesh = make_mesh(args.mesh)
         event_axis = 'event' if 'event' in mesh.shape else None
         event_shards = mesh.shape.get('event', 1)
@@ -343,7 +346,8 @@ def main(argv=None):
             train_step_fused=train_step_fused,
             place_window=place_window,
             samples_scale=n_proc,
-            wire_timestamps=args.wire_timestamps)
+            wire_timestamps=args.wire_timestamps,
+            wire_events=args.wire_events)
 
     state_holder['state'] = state
     samples = samples_passed
