@@ -336,6 +336,45 @@ def test_device_queue_u16_wire_trains_close_to_f32():
                 np.asarray(getattr(q.events, name)))
 
 
+def test_pooled_wire_skips_unpackable_batches():
+    """A mid-stream batch whose values no longer fit the packed wire
+    (ragged streams) must land in the skip report while the pooled
+    window assembles from the surviving batches, bit-equal to the
+    per-batch expansion of the same survivors."""
+    import jax
+    from dvs_of_training_framework_tpu.data.device_queue import \
+        prefetch_windows
+    from dvs_of_training_framework_tpu.data.schema import (
+        expand_batch, slice_window_batch)
+
+    good = [make_host_batch(40, seed=s) for s in (0, 1, 2)]
+    bad = make_host_batch(40, seed=3)
+    bad['events']['x'][5] = 2000            # exceeds the 10-bit x field
+    stream = [good[0], bad, good[1], good[2]]
+
+    def prepare(b):
+        return pad_batch(b, capacity=64)
+
+    windows = list(prefetch_windows(iter(stream), prepare, window=2,
+                                    depth=1, pool_events=True))
+    assert len(windows) == 2
+    (_h0, win0, nv0, sk0), (_h1, win1, nv1, sk1) = windows
+    assert (nv0, nv1) == (2, 1)
+    assert sk0 == [bad] and sk1 == []
+    expanded = []
+    for win, nv in ((win0, nv0), (win1, nv1)):
+        for i in range(nv):
+            expanded.append(jax.jit(lambda w, i: expand_batch(
+                slice_window_batch(w, i)))(win, i))
+    reference = [jax.jit(expand_batch)(prepare(b)) for b in good]
+    for got, exp in zip(expanded, reference):
+        for name in ('x', 'y', 'timestamp', 'polarity',
+                     'element_index', 'sample_index', 'num_events'):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got.events, name)),
+                np.asarray(getattr(exp.events, name)), err_msg=name)
+
+
 def test_mesh_split_batch_packs_and_roundtrips():
     """split_batch_for_mesh output (leading shard axes, localised sample
     indices) packs to the uint32 wire and expands losslessly — including
