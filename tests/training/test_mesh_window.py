@@ -113,7 +113,7 @@ def test_mesh_window_with_accumulation():
 
 
 def run_single(model, params, tx, evaluator, batches, window, num_steps,
-               accum, fused=False):
+               accum, fused=False, wire_events='padded'):
     step = make_train_step(model, evaluator, tx, [0.5, 1, 1],
                            accumulation_steps=accum, window=window)
     step_fused = None
@@ -130,8 +130,20 @@ def run_single(model, params, tx, evaluator, batches, window, num_steps,
                            accumulation_steps=accum,
                            event_capacity=4096, window=window,
                            metric_flush_steps=2,
-                           train_step_fused=step_fused)
+                           train_step_fused=step_fused,
+                           wire_events=wire_events)
     return state, samples, logger
+
+
+def test_fused_window_accum_pooled_wire():
+    """Accumulation boundaries stay exact when the window rides the
+    pooled event wire (the fused scan's index-scan branch)."""
+    setup = make_setup(8)
+    assert_same(run_single(*setup, window=4, num_steps=4, accum=2,
+                           fused=True),
+                run_single(*setup, window=4, num_steps=4, accum=2,
+                           fused=True, wire_events='pooled'),
+                exact=False)
 
 
 def test_fused_window_with_accumulation():
