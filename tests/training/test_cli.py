@@ -139,6 +139,19 @@ def test_train_cli_auto_event_capacity(tmp_path, mvsec_layout):
     # resume with 'auto' resolves to the same value: provenance gate holds
     run_cli(tmp_path, mvsec_layout, extra=extra)
 
+def test_train_cli_pooled_event_wire(tmp_path, mvsec_layout):
+    """--wire-events pooled trains end-to-end through the device queue
+    (window event pool on the wire) and checkpoints normally."""
+    model_dir = run_cli(tmp_path, mvsec_layout,
+                        extra=['--wire-events', 'pooled',
+                               '--device-queue-window', '2'])
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    ser = Serializer(model_dir)
+    assert 2 in ser.list_known_steps()
+    state = ser.read_state_dict(2)
+    assert int(state['samples_passed']) == 4
+
+
 def test_train_cli_u16_timestamp_wire(tmp_path, mvsec_layout):
     """--wire-timestamps u16 trains end-to-end through the device queue
     (quantized event-timestamp uploads) and checkpoints normally."""
