@@ -208,10 +208,23 @@ class ResBlock(nn.Module):
 
 
 class Predictor(nn.Module):
-    """Conv encoder-decoder with 4-scale flow heads (NHWC)."""
+    """Conv encoder-decoder with 4-scale flow heads (NHWC).
+
+    ``split_decoder``: route the 2-channel upsampled-flow input of each
+    decoder stage through its own (bias-free) conv summed into the main
+    conv's output instead of concatenating it.  ``conv(concat(a, f))``
+    equals ``conv_a(a) + conv_f(f)`` with the kernel split along input
+    channels, so the function and parameter count are unchanged (float
+    summation order aside) — but the concat widths drop from 386/194/66
+    to 384/192/64, multiples of the 128-lane TPU tile, removing the
+    layout padding that inflates the decoder activations and dW
+    reductions (PERFORMANCE.md, round-3 lever 3).  Off by default:
+    checkpoints are not interchangeable across the two layouts.
+    """
     base_channels: int = 64
     activation: str = 'relu'
     dtype: jnp.dtype = jnp.float32
+    split_decoder: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -238,11 +251,17 @@ class Predictor(nn.Module):
             skip_idx = 2 - i  # skips at 1/8, 1/4, 1/2 resolution
             if skip_idx >= 0:
                 parts.append(skips[skip_idx])
+            up_flow = None
             if flow is not None:
-                up_flow = upsample2x_nearest(flow) * 2.0
-                parts.append(up_flow.astype(self.dtype))
-            x = jnp.concatenate(parts, axis=-1)
+                up_flow = (upsample2x_nearest(flow) * 2.0).astype(self.dtype)
+                if not self.split_decoder:
+                    parts.append(up_flow)
+            x = parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=-1)
             x = nn.Conv(ch, (3, 3), dtype=self.dtype, name=f'dec{i}')(x)
+            if self.split_decoder and up_flow is not None:
+                x = x + nn.Conv(ch, (3, 3), use_bias=False,
+                                dtype=self.dtype, name=f'dec{i}_flow')(up_flow)
             x = act(x)
             features.append(x)
             flow = nn.Conv(2, (1, 1), dtype=jnp.float32,
@@ -264,6 +283,7 @@ class Model(nn.Module):
     dtype: str = 'float32'
     scatter_method: str = 'auto'
     kernel_mlp: str = 'auto'
+    split_decoder: bool = False
 
     def setup(self):
         dtype = jnp.dtype(self.dtype)
@@ -273,7 +293,8 @@ class Model(nn.Module):
             kernel_mlp=self.kernel_mlp)
         self.predictor = Predictor(base_channels=self.base_channels,
                                    activation=self.activation,
-                                   dtype=dtype)
+                                   dtype=dtype,
+                                   split_decoder=self.split_decoder)
 
     def _batch_size(self, timestamps):
         num_timestamps = self.max_sequence_length + 1

@@ -244,3 +244,48 @@ def test_kernel_mlp_pallas_matches_xla_path():
                           sample_idx, imsize, method=pal_model.quantize)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_split_decoder_matches_fused():
+    """Predictor(split_decoder=True) computes the same function as the
+    fused-concat decoder once the per-stage flow kernel is concatenated
+    back into the main conv kernel (conv over concat == sum of convs
+    over the parts with the kernel split along input channels), and the
+    parameter COUNT is unchanged.  Guards the layout-only claim of the
+    --split-decoder knob (EVFlowNet/net.py Predictor docstring)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        'evflownet_net_split', REPO / 'EVFlowNet' / 'net.py')
+    net = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(net)
+    from flax.core import unfreeze
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 12)), jnp.float32)
+    fused = net.Predictor(base_channels=8)
+    split = net.Predictor(base_channels=8, split_decoder=True)
+    v_split = split.init(jax.random.PRNGKey(0), x)
+    v_fused = fused.init(jax.random.PRNGKey(0), x)
+    n_split = sum(v.size for v in jax.tree_util.tree_leaves(v_split))
+    n_fused = sum(v.size for v in jax.tree_util.tree_leaves(v_fused))
+    assert n_split == n_fused
+
+    # graft the split weights into the fused layout: the fused dec{i}
+    # kernel's input-channel slices are [x+skip | flow]
+    fp = unfreeze(v_fused)['params']
+    sp = unfreeze(v_split)['params']
+    for name in list(fp):
+        if name.startswith('dec') and not name.endswith('_flow'):
+            flow_conv = sp.get(f'{name}_flow')
+            fp[name]['bias'] = sp[name]['bias']
+            fp[name]['kernel'] = sp[name]['kernel'] if flow_conv is None \
+                else jnp.concatenate([sp[name]['kernel'],
+                                      flow_conv['kernel']], axis=2)
+        else:
+            fp[name] = sp[name]
+
+    flows_f, feats_f = fused.apply({'params': fp}, x)
+    flows_s, feats_s = split.apply({'params': sp}, x)
+    for a, b in zip(flows_f + feats_f, flows_s + feats_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
