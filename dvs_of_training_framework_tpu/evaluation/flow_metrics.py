@@ -9,6 +9,55 @@ dependency).
 import numpy as np
 
 
+def masked_gt(flow_gt, event_img, is_car=False, is_dense=False):
+    """The benchmark's pixel mask applied to the GT: ``[N, 2]`` flows.
+
+    This is the EXACT masking used by :func:`flow_error_dense` (event-active
+    AND finite, non-zero GT, after the max-row crop), factored out so
+    baselines that need the masked GT itself — e.g. the constant-flow
+    oracle — cannot diverge from the metric.
+
+    Returns (gt_masked ``[N, 2]``, crop+mask applier for predictions).
+    """
+    # Bug-for-bug parity with the public EV-FlowNet benchmark code the
+    # reference vendored (utils/eval.py:16): the row bound is taken from
+    # shape[1] (the WIDTH, 346) rather than the height (260), so without
+    # is_car no row is actually cropped.  Kept intentionally — changing it
+    # would make AEE numbers incomparable with the reference harness.
+    max_row = flow_gt.shape[1]
+    if is_car:
+        max_row = 190
+
+    event_img_cropped = np.squeeze(event_img)[:max_row, :]
+    flow_gt_cropped = flow_gt[:max_row, :, :]
+
+    if is_dense:
+        event_mask = np.ones(event_img_cropped.shape, dtype=bool)
+    else:
+        event_mask = event_img_cropped > 0
+
+    # valid GT: finite and non-zero
+    flow_mask = np.logical_and(
+        np.logical_and(~np.isinf(flow_gt_cropped[:, :, 0]),
+                       ~np.isinf(flow_gt_cropped[:, :, 1])),
+        np.linalg.norm(flow_gt_cropped, axis=2) > 0)
+    total_mask = np.squeeze(np.logical_and(event_mask, flow_mask))
+
+    def apply(flow_pred):
+        return flow_pred[:max_row, :, :][total_mask, :]
+
+    return flow_gt_cropped[total_mask, :], apply
+
+
+def _endpoint_stats(gt_masked, pred_masked):
+    EE = np.linalg.norm(gt_masked - pred_masked, axis=-1)
+    n_points = EE.shape[0]
+    AEE = np.mean(EE) if n_points else 0.0
+    thresh = 3.0
+    percent_AEE = float((EE < thresh).sum()) / float(EE.shape[0] + 1e-5)
+    return AEE, percent_AEE, n_points
+
+
 def flow_error_dense(flow_gt, flow_pred, event_img, is_car=False,
                      is_dense=False):
     """Average endpoint error over event-active, valid-GT pixels.
@@ -24,41 +73,53 @@ def flow_error_dense(flow_gt, flow_pred, event_img, is_car=False,
     Returns:
         (AEE, fraction of masked pixels with EE < 3 px, n_points)
     """
-    # Bug-for-bug parity with the public EV-FlowNet benchmark code the
-    # reference vendored (utils/eval.py:16): the row bound is taken from
-    # shape[1] (the WIDTH, 346) rather than the height (260), so without
-    # is_car no row is actually cropped.  Kept intentionally — changing it
-    # would make AEE numbers incomparable with the reference harness.
-    max_row = flow_gt.shape[1]
-    if is_car:
-        max_row = 190
+    gt_masked, apply_mask = masked_gt(flow_gt, event_img, is_car, is_dense)
+    return _endpoint_stats(gt_masked, apply_mask(flow_pred))
 
-    event_img_cropped = np.squeeze(event_img)[:max_row, :]
-    flow_gt_cropped = flow_gt[:max_row, :, :]
-    flow_pred_cropped = flow_pred[:max_row, :, :]
 
-    if is_dense:
-        event_mask = np.ones(event_img_cropped.shape, dtype=bool)
-    else:
-        event_mask = event_img_cropped > 0
+def geometric_median(points, iters=64, eps=1e-7):
+    """Weiszfeld geometric median of ``[N, 2]`` points (AEE minimiser).
 
-    # valid GT: finite and non-zero
-    flow_mask = np.logical_and(
-        np.logical_and(~np.isinf(flow_gt_cropped[:, :, 0]),
-                       ~np.isinf(flow_gt_cropped[:, :, 1])),
-        np.linalg.norm(flow_gt_cropped, axis=2) > 0)
-    total_mask = np.squeeze(np.logical_and(event_mask, flow_mask))
+    The mean minimises the SQUARED endpoint error; the metric is the mean
+    NORM, whose constant minimiser is the geometric median.  Initialised at
+    the mean; a handful of Weiszfeld iterations converge to well under the
+    benchmark's resolution.
+    """
+    if points.shape[0] == 0:
+        return np.zeros(points.shape[1:], points.dtype)
+    z = points.mean(axis=0)
+    for _ in range(iters):
+        d = np.linalg.norm(points - z, axis=-1)
+        w = 1.0 / np.maximum(d, eps)
+        z_new = (points * w[:, None]).sum(axis=0) / w.sum()
+        if np.linalg.norm(z_new - z) < 1e-9:
+            z = z_new
+            break
+        z = z_new
+    return z
 
-    gt_masked = flow_gt_cropped[total_mask, :]
-    pred_masked = flow_pred_cropped[total_mask, :]
 
-    EE = np.linalg.norm(gt_masked - pred_masked, axis=-1)
-    n_points = EE.shape[0]
-    AEE = np.mean(EE) if n_points else 0.0
+def constant_flow_oracle(flow_gt, event_img, is_car=False):
+    """Best achievable AEE for a SINGLE 2-vector prediction on this window.
 
-    thresh = 3.0
-    percent_AEE = float((EE < thresh).sum()) / float(EE.shape[0] + 1e-5)
-    return AEE, percent_AEE, n_points
+    The skeptic's baseline for spatially-varying GT (VERDICT round 3): a
+    model that regresses one global flow vector per frame pair can do no
+    better than this.  Evaluates both the masked mean and the geometric
+    median (the true AEE minimiser) and returns whichever scores lower.
+
+    Returns (AEE, %AEE<3px, n_points, oracle_vector).
+    """
+    gt_masked, _ = masked_gt(flow_gt, event_img, is_car)
+    best = None
+    for vec in (gt_masked.mean(axis=0) if gt_masked.size else
+                np.zeros(2, np.float32),
+                geometric_median(gt_masked)):
+        aee, paee, n = _endpoint_stats(gt_masked,
+                                       np.broadcast_to(vec,
+                                                       gt_masked.shape))
+        if best is None or aee < best[0]:
+            best = (aee, paee, n, np.asarray(vec, np.float32))
+    return best
 
 
 def _remap_nearest(src, mapx, mapy):
