@@ -11,6 +11,7 @@ from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from dvs_of_training_framework_tpu.ops import segment_starts
 
@@ -64,3 +65,32 @@ class Model(nn.Module):
         if intermediate:
             return flows, flow_ts, flow_sample_idx, tuple()
         return flows, flow_ts, flow_sample_idx
+
+
+def compute_event_image(events, start_ts, stop_ts, shape, depth=9,
+                        **_ignored):
+    """Host-side event->image conversion for the --ev_images pipeline
+    (plugin contract point 4, reference utils/dataset.py:11,783-789).
+
+    The dummy representation is the signed per-element event count image,
+    broadcast over ``depth`` channels.
+
+    Args:
+        events: float32 ``[N, 5]`` rows ``(x, y, t, p, element_index)``.
+        start_ts, stop_ts: per-element window bounds, each ``[L]``.
+        shape: (H, W).
+        depth: channels per element.
+
+    Returns:
+        float32 ``[L, depth, H, W]`` dense representation.
+    """
+    H, W = shape
+    L = len(start_ts)
+    counts = np.zeros((L, H, W), np.float32)
+    if events.shape[0]:
+        x = events[:, 0].astype(np.int64)
+        y = events[:, 1].astype(np.int64)
+        p = events[:, 3].astype(np.float32)
+        e = events[:, 4].astype(np.int64)
+        np.add.at(counts, (e, y, x), p)
+    return np.repeat(counts[:, None], depth, axis=1)

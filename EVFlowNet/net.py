@@ -258,9 +258,18 @@ class Predictor(nn.Module):
                     parts.append(up_flow)
             x = parts[0] if len(parts) == 1 else \
                 jnp.concatenate(parts, axis=-1)
+            in_ch = x.shape[-1]
             x = nn.Conv(ch, (3, 3), dtype=self.dtype, name=f'dec{i}')(x)
             if self.split_decoder and up_flow is not None:
+                # init-match the fused layout: the flow slice of the fused
+                # kernel is drawn at lecun std 1/sqrt((in_ch+2)*9), not the
+                # standalone conv's 1/sqrt(2*9) — rescale so training from
+                # scratch is init-equivalent across the two layouts
+                # (function/params already identical; ADVICE round 3).
+                flow_init = nn.initializers.variance_scaling(
+                    2.0 / (in_ch + 2), 'fan_in', 'truncated_normal')
                 x = x + nn.Conv(ch, (3, 3), use_bias=False,
+                                kernel_init=flow_init,
                                 dtype=self.dtype, name=f'dec{i}_flow')(up_flow)
             x = act(x)
             features.append(x)

@@ -51,12 +51,23 @@ def make_mesh(spec: Optional[str] = None, devices=None) -> Mesh:
 
 def split_batch_for_mesh(collated: dict, n_shards: int,
                          capacity_per_shard: int,
-                         event_shards: int = 1) -> Batch:
-    """Split a host-collated ragged batch into n equal per-device shards.
+                         event_shards: int = 1,
+                         sequence_length: Optional[int] = None) -> Batch:
+    """Split a host-collated batch into n equal per-device shards.
 
     Every array gains a leading shard axis; events are re-padded per shard
     (they are sorted by sample, so shard boundaries are just searchsorted
-    cuts).  Sample indices are localised to each shard.
+    cuts).  Sample indices are localised to each shard.  Dense batches
+    (``--ev_images``: a ``data [B, L*C, H, W]`` leaf instead of ``events``)
+    split on the sample axis directly — the quantized training mode
+    (reference scripts/quantize_preprocessed.py:59-108 +
+    utils/training.py:50-55) scales out like any other.
+
+    With ``sequence_length`` set (``--dynamic-sample-length``) the batch is
+    first re-laid into uniform per-sample slots (schema.layout_sample_slots)
+    so every shard carries ``per_shard * (sequence_length + 1)`` timestamp
+    slots regardless of the per-sample element counts; padding slots keep
+    the out-of-range marker, localised to the PER-SHARD batch size.
 
     With ``event_shards > 1`` each data shard's flat event list is further
     cut into ``event_shards`` contiguous pieces — the event buffers gain a
@@ -69,62 +80,90 @@ def split_batch_for_mesh(collated: dict, n_shards: int,
     Raises:
         OverflowError: when a shard exceeds ``capacity_per_shard`` events.
     """
-    from ..data.schema import pad_events
+    from ..data.schema import layout_sample_slots, pad_events
+
+    if sequence_length is not None:
+        collated = layout_sample_slots(collated, sequence_length)
 
     size = int(collated['size'])
     assert size % n_shards == 0, \
         f'batch size {size} not divisible by {n_shards} shards'
     per_shard = size // n_shards
 
-    ev = collated['events']
-    sample_index = np.asarray(ev['sample_index'])
-    # shard boundaries on the flat (sample-sorted) event axis
-    cuts = np.searchsorted(sample_index,
-                           np.arange(n_shards + 1) * per_shard)
     sample_idx = np.asarray(collated['sample_idx'])
-    ts_cuts = np.searchsorted(sample_idx,
-                              np.arange(n_shards + 1) * per_shard)
+    if sequence_length is not None:
+        # uniform slots: cut arithmetic, no searchsorted (padding markers
+        # interleave with real entries, so the axis is not sorted)
+        slots = sequence_length + 1
+        ts_cuts = np.arange(n_shards + 1) * per_shard * slots
+    else:
+        ts_cuts = np.searchsorted(sample_idx,
+                                  np.arange(n_shards + 1) * per_shard)
     images = np.asarray(collated['images'], dtype=np.float32)
     if images.ndim == 3:
         images = images[:, None]
     timestamps = np.asarray(collated['timestamps'], dtype=np.float32)
+
+    ev = collated.get('events')
+    data = collated.get('data')
+    if ev is not None:
+        sample_index = np.asarray(ev['sample_index'])
+        # shard boundaries on the flat (sample-sorted) event axis
+        cuts = np.searchsorted(sample_index,
+                               np.arange(n_shards + 1) * per_shard)
+    else:
+        assert data is not None, 'batch carries neither events nor data'
+        assert event_shards == 1, \
+            'event-axis sharding requires raw events (--ev_images batches ' \
+            'have no event axis)'
+        data = np.asarray(data, dtype=np.float32)
 
     buffers = []
     ts_shards = []
     si_shards = []
     im_shards = []
     for s in range(n_shards):
-        lo, hi = int(cuts[s]), int(cuts[s + 1])
-        shard_events = {
-            'x': ev['x'][lo:hi],
-            'y': ev['y'][lo:hi],
-            'timestamp': ev['timestamp'][lo:hi],
-            'polarity': ev['polarity'][lo:hi],
-            'element_index': ev['element_index'][lo:hi],
-            'sample_index': sample_index[lo:hi] - s * per_shard,
-        }
-        if event_shards == 1:
-            buffers.append(pad_events(shard_events, per_shard,
-                                      capacity_per_shard))
-        else:
-            # contiguous cuts of the flat event axis; any partition works
-            # (the grid is a sum over events), contiguous keeps IO simple
-            n_ev = hi - lo
-            ev_cuts = np.linspace(0, n_ev, event_shards + 1).astype(int)
-            buffers.append(jax.tree_util.tree_map(
-                lambda *xs: np.stack(xs),
-                *[pad_events({k: v[ev_cuts[e]:ev_cuts[e + 1]]
-                              for k, v in shard_events.items()},
-                             per_shard, capacity_per_shard)
-                  for e in range(event_shards)]))
+        if ev is not None:
+            lo, hi = int(cuts[s]), int(cuts[s + 1])
+            shard_events = {
+                'x': ev['x'][lo:hi],
+                'y': ev['y'][lo:hi],
+                'timestamp': ev['timestamp'][lo:hi],
+                'polarity': ev['polarity'][lo:hi],
+                'element_index': ev['element_index'][lo:hi],
+                'sample_index': sample_index[lo:hi] - s * per_shard,
+            }
+            if event_shards == 1:
+                buffers.append(pad_events(shard_events, per_shard,
+                                          capacity_per_shard))
+            else:
+                # contiguous cuts of the flat event axis; any partition
+                # works (the grid is a sum over events), contiguous keeps
+                # IO simple
+                n_ev = hi - lo
+                ev_cuts = np.linspace(0, n_ev,
+                                      event_shards + 1).astype(int)
+                buffers.append(jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs),
+                    *[pad_events({k: v[ev_cuts[e]:ev_cuts[e + 1]]
+                                  for k, v in shard_events.items()},
+                                 per_shard, capacity_per_shard)
+                      for e in range(event_shards)]))
         tlo, thi = int(ts_cuts[s]), int(ts_cuts[s + 1])
+        si = sample_idx[tlo:thi]
+        # padding slots (dynamic layout) carry the GLOBAL size marker;
+        # each shard's standalone batch needs the per-shard one
+        si_shards.append(np.where(si == size, per_shard,
+                                  si - s * per_shard))
         ts_shards.append(timestamps[tlo:thi])
-        si_shards.append(sample_idx[tlo:thi] - s * per_shard)
         im_shards.append(images[tlo:thi])
 
-    events = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *buffers)
+    events = None
+    if ev is not None:
+        events = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *buffers)
     return Batch(events=events,
-                 data=None,
+                 data=(None if data is None else
+                       data.reshape(n_shards, per_shard, *data.shape[1:])),
                  timestamps=np.stack(ts_shards).astype(np.float32),
                  sample_idx=np.stack(si_shards).astype(np.int32),
                  images=np.stack(im_shards),

@@ -96,6 +96,30 @@ def test_train_cli_mesh_event_axis(tmp_path, mvsec_layout):
     assert 2 in ser.list_known_steps()
 
 
+def test_train_cli_mesh_ev_images(tmp_path, mvsec_layout):
+    """--mesh x --ev_images (round-4 lift): dense event-image batches
+    shard on the sample axis through the CLI composition root."""
+    model_dir = run_cli(tmp_path, mvsec_layout,
+                        extra=['--mesh', 'data:2', '--ev_images'])
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    ser = Serializer(model_dir)
+    assert 2 in ser.list_known_steps()
+
+
+def test_train_cli_mesh_dynamic_sample_length(tmp_path, mvsec_layout):
+    """--mesh x --dynamic-sample-length (round-4 lift): the uniform-slot
+    layout happens BEFORE the shard split so per-shard timestamp counts
+    stay static."""
+    model_dir = run_cli(tmp_path, mvsec_layout,
+                        extra=['--mesh', 'data:2',
+                               '--dynamic-sample-length',
+                               '--min-sequence-length', '1',
+                               '--max-sequence-length', '3'])
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    ser = Serializer(model_dir)
+    assert 2 in ser.list_known_steps()
+
+
 def test_train_cli_dynamic_sample_length(tmp_path, mvsec_layout):
     """--dynamic-sample-length trains end-to-end (uniform-slot layout
     through train(), validate() and the hooks)."""

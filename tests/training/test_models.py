@@ -289,3 +289,15 @@ def test_split_decoder_matches_fused():
     for a, b in zip(flows_f + feats_f, flows_s + feats_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+    # init-scale equivalence (ADVICE round 3): the standalone dec{i}_flow
+    # conv must draw at the FUSED kernel's lecun std 1/sqrt((in_ch+2)*9),
+    # not its own fan-in's 1/sqrt(2*9) — otherwise training from scratch
+    # differs across the two layouts.
+    fp0 = unfreeze(v_fused)['params']
+    for name, leaf in sp.items():
+        if name.endswith('_flow'):
+            fused_k = fp0[name[:-len('_flow')]]['kernel']
+            want = float(jnp.std(fused_k))          # lecun over full fan-in
+            got = float(jnp.std(leaf['kernel']))
+            assert abs(got - want) / want < 0.25, (name, got, want)

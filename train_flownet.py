@@ -191,19 +191,18 @@ def main(argv=None):
         from dvs_of_training_framework_tpu.parallel import (
             make_global_batch, make_mesh, make_sharded_fused_window_step,
             make_sharded_train_step, split_batch_for_mesh)
-        assert args.is_raw, 'mesh training currently expects raw events'
-        assert not args.dynamic_sample_length, \
-            '--mesh with --dynamic-sample-length is not supported: the ' \
-            'mesh batch split expects equal per-shard timestamp counts'
         assert args.wire_events == 'padded', \
             '--wire-events pooled is not composable with --mesh: the ' \
             'event pool has no shard axis'
         mesh = make_mesh(args.mesh)
         event_axis = 'event' if 'event' in mesh.shape else None
         event_shards = mesh.shape.get('event', 1)
+        assert args.is_raw or event_axis is None, \
+            '--mesh with an event axis requires raw events: --ev_images ' \
+            'batches have no event axis to shard'
         train_step, n_shards = make_sharded_train_step(
             model, evaluator, tx, args.loss_weights, args.accum_step,
-            mesh, is_raw=True, event_axis=event_axis, window=window)
+            mesh, is_raw=args.is_raw, event_axis=event_axis, window=window)
         assert args.mbs % n_shards == 0, \
             f'micro batch {args.mbs} not divisible by {n_shards} devices'
         assert (n_shards * event_shards) % n_proc == 0, \
@@ -212,7 +211,7 @@ def main(argv=None):
         if window > 0 and window % args.accum_step == 0:
             train_step_fused = make_sharded_fused_window_step(
                 model, evaluator, tx, args.loss_weights, args.accum_step,
-                mesh, window, is_raw=True, event_axis=event_axis)
+                mesh, window, is_raw=args.is_raw, event_axis=event_axis)
 
         # each process splits its LOCAL slice of the batch into its local
         # shards; shard capacity is sized by the GLOBAL device count so
@@ -223,7 +222,8 @@ def main(argv=None):
             return split_batch_for_mesh(
                 collated, n_local_shards,
                 capacity_per_shard=max(capacity // n_shards, 4096),
-                event_shards=event_shards)
+                event_shards=event_shards,
+                sequence_length=pad_sequence_length(args))
 
         if window > 0:
             # device queue over the mesh: prepare splits on host, the
