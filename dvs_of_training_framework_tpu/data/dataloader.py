@@ -270,7 +270,16 @@ def get_dataset(params, event_image_fn=None):
 
 def get_dataloader(params, sample_idx=0, process_only_once=True,
                    event_image_fn=None):
-    """Build the loader described by ``params`` (see get_*set_params)."""
+    """Build the loader described by ``params`` (see get_*set_params).
+
+    ``params.process_index``/``process_count`` (default single-process)
+    shard the stream across hosts: the preprocessed loader strides so
+    each process reads only its slice of every global batch; the raw
+    loader simply serves ``params.batch_size`` (the LOCAL batch) from
+    this process's own independently-seeded sample stream.
+    """
+    process_index = getattr(params, 'process_index', 0)
+    process_count = getattr(params, 'process_count', 1)
     if params.preprocessed_dataset_path is not None:
         loader = PreprocessedDataloader(
             path=params.preprocessed_dataset_path,
@@ -278,7 +287,9 @@ def get_dataloader(params, sample_idx=0, process_only_once=True,
             is_raw=params.is_raw,
             cache_dir=params.cache_dir,
             cache_size=params.cache_size,
-            process_only_once=process_only_once)
+            process_only_once=process_only_once,
+            process_index=process_index,
+            process_count=process_count)
         loader.set_index(sample_idx)
         return loader
     collate_fn = collate_wrapper if params.is_raw else collate_dense_wrapper

@@ -113,94 +113,83 @@ def make_global_batch(local_batch, mesh, axis='data', event_axis=None,
     return rest.replace(events=events)
 
 
-def slice_collated_batch(collated: dict, lo: int, hi: int) -> dict:
-    """Cut samples ``[lo, hi)`` out of a host-collated ragged batch.
+class ShardedBatchSkipper:
+    """Globally-deterministic oversized-batch rule over a per-process
+    strided preprocessed stream (PreprocessedDataloader with
+    ``process_count > 1``).
 
-    Events and timestamps/images are sorted by sample, so the cuts are
-    searchsorted boundaries; sample indices are re-based to 0.  Used by
-    multi-host training, where every process collates the same global
-    batch (seeded identically) and keeps only its slice.
-    """
-    import numpy as np
-
-    out = dict(collated)
-    ev = collated['events']
-    if ev is not None:
-        sample_index = np.asarray(ev['sample_index'])
-        e_lo, e_hi = np.searchsorted(sample_index, [lo, hi])
-        out['events'] = {
-            k: np.asarray(v)[e_lo:e_hi] for k, v in ev.items()}
-        out['events']['sample_index'] = \
-            out['events']['sample_index'] - lo
-    sample_idx = np.asarray(collated['sample_idx'])
-    t_lo, t_hi = np.searchsorted(sample_idx, [lo, hi])
-    out['sample_idx'] = sample_idx[t_lo:t_hi] - lo
-    out['timestamps'] = np.asarray(collated['timestamps'])[t_lo:t_hi]
-    out['images'] = np.asarray(collated['images'])[t_lo:t_hi]
-    if collated.get('data') is not None:
-        out['data'] = np.asarray(collated['data'])[lo:hi]
-    aug = collated.get('augmentation_params')
-    if aug is not None:
-        out['augmentation_params'] = {k: np.asarray(v)[lo:hi]
-                                      for k, v in aug.items()}
-    out['size'] = hi - lo
-    return out
-
-
-class ProcessLocalStream:
-    """Per-process view of a replicated global batch stream.
-
-    Every process iterates the SAME underlying loader (all processes must
-    seed augmentation/shuffle RNGs identically — train_flownet.py does) and
-    keeps samples ``[p*size/P, (p+1)*size/P)`` of each batch.  Decisions
-    that must agree across processes — oversized-batch skipping — are taken
-    on the GLOBAL batch before slicing, so no process can diverge from the
-    collective (a per-process skip would deadlock the psum).
+    Each process reads only its 1/P slice of every global batch, so no
+    process can SEE the others' event counts — but all processes must
+    still agree on which global batches to skip (a per-process skip of a
+    dispatched step would desynchronise the SPMD collectives).  The
+    stream is static and pre-augmented, so per-sample event counts are a
+    pure metadata property (data/preprocessed.py
+    ``per_sample_event_counts``): every process evaluates the SAME rule —
+    "does any of the ``n_shards`` per-device slices of global batch g
+    exceed ``capacity_per_shard``?" — from the same counts array, with
+    zero communication.  Skipped global batches are strided past without
+    reading (``skip_batch``), and the rule is a deterministic function of
+    the stream position, so checkpoint resume replays identical
+    decisions.
 
     Args:
-        loader: the global batch loader (identical on every process).
-        process_index / process_count: this process's slice.
-        n_shards: total devices on the mesh data axis (global).
-        capacity_per_shard: per-device event-buffer capacity; a global
-            batch whose largest per-device shard exceeds it is skipped on
-            every process alike.
+        loader: this process's PreprocessedDataloader (already sharded).
+        per_sample_events: int64 ``[length]`` event count per stream
+            sample, identical on every process.
+        global_batch: samples per GLOBAL batch (local batch x P).
+        n_shards: devices on the mesh data axis (global).
+        capacity_per_shard: per-device event-buffer capacity.
+        start_sample: global samples already consumed (resume position).
     """
 
-    def __init__(self, loader, process_index: int, process_count: int,
-                 n_shards: int, capacity_per_shard: int):
+    def __init__(self, loader, per_sample_events, global_batch: int,
+                 n_shards: int, capacity_per_shard: int,
+                 start_sample: int = 0):
+        import numpy as np
+        assert global_batch % n_shards == 0, (global_batch, n_shards)
         self.loader = loader
-        self.process_index = process_index
-        self.process_count = process_count
+        self.global_batch = global_batch
+        self.spd = global_batch // n_shards
         self.n_shards = n_shards
         self.capacity_per_shard = capacity_per_shard
+        counts = np.asarray(per_sample_events, np.int64)
+        self.length = counts.size
+        assert global_batch <= self.length, \
+            f'global batch {global_batch} exceeds dataset ({self.length})'
+        self._csum = np.concatenate([[0], np.cumsum(counts)])
+        self.cursor = (start_sample // global_batch) * global_batch
 
-    def _global_overflow(self, collated) -> bool:
-        import numpy as np
-        ev = collated.get('events')
-        if ev is None:
-            return False
-        size = int(collated['size'])
-        per_shard = size // self.n_shards
-        sample_index = np.asarray(ev['sample_index'])
-        cuts = np.searchsorted(sample_index,
-                               np.arange(self.n_shards + 1) * per_shard)
-        return int(np.diff(cuts).max(initial=0)) > self.capacity_per_shard
+    def _range_events(self, lo: int, hi: int) -> int:
+        """Events in stream samples ``[lo, hi)`` (wrapping modulo length)."""
+        total = int(self._csum[-1])
+        full, lo = divmod(lo, self.length)
+        hi -= full * self.length
+        if hi <= self.length:
+            return int(self._csum[hi] - self._csum[lo])
+        return int(total - self._csum[lo]
+                   + self._csum[hi - self.length])
+
+    def _overflows(self, start: int) -> bool:
+        return any(self._range_events(start + k * self.spd,
+                                      start + (k + 1) * self.spd)
+                   > self.capacity_per_shard
+                   for k in range(self.n_shards))
 
     def __iter__(self):
-        for collated in self.loader:
-            size = int(collated['size'])
-            if size % self.process_count:
-                raise ValueError(
-                    f'batch size {size} not divisible by '
-                    f'{self.process_count} processes')
-            if self._global_overflow(collated):
-                print(f'Skipping batch with '
-                      f'{collated["events"]["x"].size} events '
-                      '(global per-shard overflow)')
+        while True:
+            start = self.cursor % self.length
+            if self._overflows(start):
+                worst = max(self._range_events(start + k * self.spd,
+                                               start + (k + 1) * self.spd)
+                            for k in range(self.n_shards))
+                print(f'Skipping batch at sample {start} '
+                      f'(per-shard events {worst} > capacity '
+                      f'{self.capacity_per_shard})')
+                self.loader.skip_batch()
+                self.cursor += self.global_batch
                 continue
-            per_proc = size // self.process_count
-            lo = self.process_index * per_proc
-            yield slice_collated_batch(collated, lo, lo + per_proc)
+            self.cursor += self.global_batch
+            yield next(self.loader)
 
     def close(self):
         close = getattr(self.loader, 'close', None)

@@ -60,6 +60,24 @@ def preprocessed_rate(path, batch_size, iters):
     return time_iter(iter(loader), iters)
 
 
+def sharded_preprocessed_rate(path, global_batch, iters, process_count):
+    """Per-process cost of one GLOBAL batch under multi-host striding.
+
+    Each of P processes reads only its ``global_batch / P`` slice; the
+    round-3 lockstep design had every process decode the FULL global
+    batch (= the plain ``preprocessed`` row) and slice.  One __next__
+    here advances the stream one full global batch, so ms/batch compares
+    directly with that row.
+    """
+    from dvs_of_training_framework_tpu.data.preprocessed import \
+        PreprocessedDataloader
+    loader = PreprocessedDataloader(path=path,
+                                    batch_size=global_batch // process_count,
+                                    is_raw=True, process_index=0,
+                                    process_count=process_count)
+    return time_iter(iter(loader), iters)
+
+
 def producer_rate(iters, window=8):
     """pad + compact + stack of bench-shaped batches (no upload)."""
     import bench
@@ -114,6 +132,12 @@ def main():
         dt = preprocessed_rate(args.preprocessed, args.batch_size,
                                args.iters)
         rows['preprocessed'] = dt
+        for procs in (2, 4):
+            if args.batch_size % procs == 0:
+                dt = sharded_preprocessed_rate(args.preprocessed,
+                                               args.batch_size, args.iters,
+                                               procs)
+                rows[f'preprocessed(P={procs} strided)'] = dt
     pad_dt, stack_dt = producer_rate(args.iters)
     rows['producer pad'] = pad_dt
     rows['producer compact+stack'] = stack_dt

@@ -70,6 +70,51 @@ def test_seek_resume_and_wraparound(tmp_path):
     assert (batch['events']['x'] == ref['events']['x']).all()
 
 
+def test_sharded_process_stride(tmp_path):
+    """Multi-host stream sharding: two process-strided loaders together
+    cover exactly the global loader's batches (each reading only its
+    half), across shard boundaries and the epoch wrap."""
+    out, dataset = write_shards(tmp_path)  # 6 samples in 2 shards
+    g = PreprocessedDataloader(out, batch_size=4, is_raw=True,
+                               show_progress=False)
+    locals_ = [PreprocessedDataloader(out, batch_size=2, is_raw=True,
+                                      show_progress=False,
+                                      process_index=p, process_count=2)
+               for p in range(2)]
+    for _ in range(6):   # 6 global batches = 4 epochs, many wraps
+        gb = next(g)
+        parts = [next(lo) for lo in locals_]
+        assert np.concatenate([p['events']['x'] for p in parts]).tolist() \
+            == gb['events']['x'].tolist()
+        assert (np.concatenate([p['images'] for p in parts])
+                == gb['images']).all()
+        assert np.allclose(np.concatenate([p['timestamps'] for p in parts]),
+                           gb['timestamps'])
+
+
+def test_sharded_set_index_and_skip_batch(tmp_path):
+    """set_index takes the GLOBAL sample index; skip_batch strides one
+    full global batch without reading."""
+    out, dataset = write_shards(tmp_path)
+    p1 = PreprocessedDataloader(out, batch_size=2, is_raw=True,
+                                show_progress=False,
+                                process_index=1, process_count=2)
+    # global batch starting at sample 4 -> process 1 serves samples {0,1}
+    # (4+2=6 wraps to 0)
+    p1.set_index(4)
+    batch = next(p1)
+    ref = collate_wrapper([dataset[0], dataset[1]])
+    assert (batch['events']['x'] == ref['events']['x']).all()
+
+    p0 = PreprocessedDataloader(out, batch_size=2, is_raw=True,
+                                show_progress=False,
+                                process_index=0, process_count=2)
+    p0.skip_batch()          # past global batch 0 (samples 0..3)
+    batch = next(p0)         # global batch 1 -> process 0 gets {4,5}
+    ref = collate_wrapper([dataset[4], dataset[5]])
+    assert (batch['events']['x'] == ref['events']['x']).all()
+
+
 def test_info_sidecars_written(tmp_path):
     out, _ = write_shards(tmp_path)
     PreprocessedDataloader(out, batch_size=1, is_raw=True,

@@ -25,13 +25,7 @@ def free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_train_cli(tmp_path):
-    """The PRODUCT multi-host path: train_flownet.main on 2 processes.
-
-    A 4-way data mesh spans two 2-device processes; each feeds its half
-    of every global batch (ProcessLocalStream); process 0 alone writes
-    checkpoints, provenance and TB logs; samples_passed counts GLOBAL
-    samples."""
+def run_two_process_cli(tmp_path, extra=()):
     from tests.helpers import data_path
     data_root = tmp_path / 'mvsec'
     data_root.mkdir()
@@ -45,7 +39,7 @@ def test_two_process_train_cli(tmp_path):
     env['DVS_DATA_PATH'] = str(data_root)
     procs = [subprocess.Popen(
         [sys.executable, str(HERE / 'multihost_cli_worker.py'),
-         f'localhost:{port}', '2', str(pid), str(model_dir)],
+         f'localhost:{port}', '2', str(pid), str(model_dir)] + list(extra),
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for pid in range(2)]
     outputs = []
@@ -54,7 +48,10 @@ def test_two_process_train_cli(tmp_path):
         outputs.append(out)
     for p, out in zip(procs, outputs):
         assert p.returncode == 0, f'worker failed:\n{out}'
+    return model_dir, outputs
 
+
+def check_two_process_run(model_dir, outputs):
     from dvs_of_training_framework_tpu.training.serializer import Serializer
     ser = Serializer(model_dir)
     steps = ser.list_known_steps()
@@ -71,6 +68,32 @@ def test_two_process_train_cli(tmp_path):
     assert event_files, 'process 0 wrote no logs'
     assert not any(f'.{pid1}.' in name for name in event_files), \
         f'process 1 ({pid1}) wrote TB events: {event_files}'
+
+
+def test_two_process_train_cli(tmp_path):
+    """The PRODUCT multi-host path: train_flownet.main on 2 processes.
+
+    A 4-way data mesh spans two 2-device processes; each feeds its half
+    of every global batch from its OWN input pipeline (independent raw
+    streams, workers on — no global-RNG lockstep); process 0 alone
+    writes checkpoints, provenance and TB logs; samples_passed counts
+    GLOBAL samples."""
+    model_dir, outputs = run_two_process_cli(tmp_path)
+    check_two_process_run(model_dir, outputs)
+
+
+def test_two_process_preprocessed_stream(tmp_path):
+    """Multi-host over a preprocessed shard stream: each process STRIDES
+    the stream (reads only its slice of every global batch) and the
+    oversized-batch rule is the zero-communication deterministic one
+    (ShardedBatchSkipper over per-sample event counts)."""
+    import sys as _sys
+    _sys.path.insert(0, str(HERE.parents[1]))
+    from tests.dataset.test_preprocessed import write_shards
+    shards, _ = write_shards(tmp_path, samples_per_file=4, num_files=2)
+    model_dir, outputs = run_two_process_cli(
+        tmp_path, extra=['--preprocessed-dataset-path', str(shards)])
+    check_two_process_run(model_dir, outputs)
 
 
 def test_two_process_training_step():

@@ -126,15 +126,10 @@ def main(argv=None):
             collect_execution_info, write_execution_info)
         write_execution_info(args.model, collect_execution_info(args))
     if n_proc > 1:
-        # every process must collate the SAME global batch stream (each
-        # keeps its 1/n_proc slice): seed shuffle + augmentation RNGs
-        # identically and keep sample loading single-threaded — worker
-        # threads would consume the shared RNG in nondeterministic order
-        import random as _random
-        import numpy as _np
-        _random.seed(12345)
-        _np.random.seed(12345)
-        args.num_workers = 0
+        # per-process input pipelines: each process loads/collates ONLY
+        # its 1/n_proc slice of every global batch (workers stay on) —
+        # the preprocessed stream strides by process, the raw stream
+        # draws independently per process (see the loader block below)
         if args.mesh is None:
             args.mesh = f'data:{len(jax.devices())}'
     from dvs_of_training_framework_tpu.data.dataloader import (
@@ -296,17 +291,34 @@ def main(argv=None):
         state_holder['state'] = state
         hooks['serialization'](global_step, samples_passed)
 
-    loader = get_dataloader(get_trainset_params(args),
+    trainset_params = get_trainset_params(args)
+    if n_proc > 1:
+        # each process reads/collates only its slice of the global batch
+        assert args.mbs % n_proc == 0, \
+            f'micro batch {args.mbs} not divisible by {n_proc} processes'
+        trainset_params.batch_size = args.mbs // n_proc
+        trainset_params.process_index = jax.process_index()
+        trainset_params.process_count = n_proc
+    loader = get_dataloader(trainset_params,
                             sample_idx=samples_passed,
                             process_only_once=args.process_only_once,
                             event_image_fn=event_image_fn)
-    if n_proc > 1:
+    if n_proc > 1 and args.preprocessed_dataset_path is not None \
+            and args.is_raw:
+        # the oversized-batch decision must be identical on every process
+        # (a diverging skip would desynchronise the SPMD dispatch order);
+        # the stream is static, so the rule is a pure function of the
+        # precomputed per-sample event counts — zero communication
+        from dvs_of_training_framework_tpu.data.preprocessed import \
+            per_sample_event_counts
         from dvs_of_training_framework_tpu.parallel.distributed import \
-            ProcessLocalStream
+            ShardedBatchSkipper
         cap = min(args.event_capacity, args.max_events_per_batch)
-        loader = ProcessLocalStream(
-            loader, jax.process_index(), n_proc, n_shards,
-            capacity_per_shard=max(cap // n_shards, 4096))
+        loader = ShardedBatchSkipper(
+            loader, per_sample_event_counts(args.preprocessed_dataset_path),
+            global_batch=args.mbs, n_shards=n_shards,
+            capacity_per_shard=max(cap // n_shards, 4096),
+            start_sample=samples_passed)
 
     if not args.skip_validation:
         hooks['validation'](global_step, samples_passed)
