@@ -4,7 +4,7 @@ Reference: utils/hooks/serialization.py, utils/hooks/validation.py.
 """
 import copy
 
-from .train import validate
+from .train import validate, validate_windowed
 
 
 class SerializationHook:
@@ -38,7 +38,8 @@ class ValidationHook:
     """Runs a validation pass over the validation loader."""
 
     def __init__(self, eval_step, get_params, loader_factory, logger, tags,
-                 is_raw=True, event_capacity=2 ** 18, sequence_length=None):
+                 is_raw=True, event_capacity=2 ** 18, sequence_length=None,
+                 fused_eval_step=None, window: int = 0):
         """
         Args:
             eval_step: jitted (params, batch) -> (loss, terms).
@@ -47,6 +48,10 @@ class ValidationHook:
                 validation loader.
             logger: SummaryWriter.
             tags: per-scale tags.
+            fused_eval_step: optional windowed eval step
+                (state.make_fused_eval_step); with ``window > 0`` the
+                pass runs through the device queue — identical scalars,
+                K× fewer dispatches (train.validate_windowed).
         """
         self.eval_step = eval_step
         self.get_params = get_params
@@ -56,8 +61,18 @@ class ValidationHook:
         self.is_raw = is_raw
         self.event_capacity = event_capacity
         self.sequence_length = sequence_length
+        self.fused_eval_step = fused_eval_step
+        self.window = window
 
     def __call__(self, steps: int, samples: int):
+        if self.fused_eval_step is not None and self.window > 0:
+            validate_windowed(self.fused_eval_step, self.get_params(),
+                              self.loader_factory(), samples, self.logger,
+                              self.tags, window=self.window,
+                              is_raw=self.is_raw,
+                              event_capacity=self.event_capacity,
+                              sequence_length=self.sequence_length)
+            return
         validate(self.eval_step, self.get_params(), self.loader_factory(),
                  samples, self.logger, self.tags, is_raw=self.is_raw,
                  event_capacity=self.event_capacity,

@@ -201,3 +201,30 @@ def make_eval_step(model, evaluator, weights, is_raw: bool = True):
     """Jitted validation step: (params, batch) -> (loss, terms)."""
     loss_fn = make_loss_fn(model, evaluator, weights, is_raw)
     return jax.jit(loss_fn)
+
+
+def make_fused_eval_step(model, evaluator, weights, window: int,
+                         is_raw: bool = True):
+    """K validation steps in ONE dispatch: ``lax.scan`` over a window.
+
+    The per-batch ``validate`` loop pays a dispatch + fresh-input-buffer
+    upload per batch — the exact cost the device queue removes from
+    training (data/device_queue.py).  Scanning a staged K-batch window
+    through the loss amortises it identically; there is no state, so the
+    body is just the forward + loss.
+
+    Returns ``fused(params, window_batch) -> (loss[K], terms[K])`` with a
+    leading K axis on every output leaf (the caller masks the repeat-
+    padded tail of a partial final window via ``n_valid``).
+    """
+    loss_fn = make_loss_fn(model, evaluator, weights, is_raw)
+
+    def body(params, batch):
+        from ..data.schema import expand_batch
+        return params, loss_fn(params, expand_batch(batch))
+
+    def fused(params, window_batch):
+        _, out = jax.lax.scan(body, params, window_batch, length=window)
+        return out
+
+    return jax.jit(fused)

@@ -382,6 +382,21 @@ def train(train_step,
     return state, samples_passed
 
 
+def _emit_validation(logger, tags, samples_passed, n, loss_sum, smooth_sum,
+                     photo_sum, out_reg_sum):
+    n = max(n, 1)
+    logger.add_scalar('General/Validation loss', loss_sum / n,
+                      samples_passed)
+    for tag, s, p, o in zip(tags, smooth_sum, photo_sum, out_reg_sum):
+        logger.add_scalar(f'Validation/smoothness loss/{tag}', s / n,
+                          samples_passed)
+        logger.add_scalar(f'Validation/photometric loss/{tag}', p / n,
+                          samples_passed)
+        logger.add_scalar(f'Validation/out regularization loss/{tag}',
+                          o / n, samples_passed)
+    return loss_sum / n
+
+
 def validate(eval_step, params, loader, samples_passed, logger, tags,
              is_raw=True, event_capacity=2 ** 18, sequence_length=None):
     """Validation pass (reference utils/training.py:244-271)."""
@@ -405,14 +420,65 @@ def validate(eval_step, params, loader, samples_passed, logger, tags,
             smooth_sum = add_loss(smooth_sum, smoothness)
             out_reg_sum = add_loss(out_reg_sum, out_reg)
             loss_sum += float(loss)
-    n = max(n, 1)
-    logger.add_scalar('General/Validation loss', loss_sum / n,
-                      samples_passed)
-    for tag, s, p, o in zip(tags, smooth_sum, photo_sum, out_reg_sum):
-        logger.add_scalar(f'Validation/smoothness loss/{tag}', s / n,
-                          samples_passed)
-        logger.add_scalar(f'Validation/photometric loss/{tag}', p / n,
-                          samples_passed)
-        logger.add_scalar(f'Validation/out regularization loss/{tag}',
-                          o / n, samples_passed)
-    return loss_sum / n
+    return _emit_validation(logger, tags, samples_passed, n, loss_sum,
+                            smooth_sum, photo_sum, out_reg_sum)
+
+
+def validate_windowed(fused_eval_step, params, loader, samples_passed,
+                      logger, tags, window, is_raw=True,
+                      event_capacity=2 ** 18, sequence_length=None,
+                      prefetch_depth: int = 2):
+    """Validation through the device queue: K batches per upload+dispatch.
+
+    ``validate`` pads and dispatches per batch, so every batch pays a
+    dispatch plus the fresh-input-buffer first-use penalty the device
+    queue exists to amortize in training (data/device_queue.py).  This
+    variant stages windows of K padded batches in one upload and scans
+    the loss over them in one dispatch (state.make_fused_eval_step) —
+    identical scalars (same loss on the same padded batches, summed in
+    the same order), K× fewer host↔device round trips.  Reference
+    analogue: the per-batch loop utils/training.py:244-271.
+    """
+    from ..data.device_queue import prefetch_windows
+
+    def prepare(host_batch):
+        if batch_num_events(host_batch, is_raw) > event_capacity:
+            raise OverflowError('oversized validation batch')
+        return pad_batch(host_batch, capacity=event_capacity if is_raw
+                         else None, sequence_length=sequence_length)
+
+    def runs_of_equal_size(batches):
+        # stack_batches requires one static batch size per window; a
+        # finite validation stream may end with a smaller remainder
+        # batch, so cut the stream into runs of equal size (<= 2 runs
+        # in practice: the full-size run and the remainder)
+        run = []
+        for b in batches:
+            if run and b['size'] != run[0]['size']:
+                yield run
+                run = []
+            run.append(b)
+        if run:
+            yield run
+
+    n = 0
+    photo_sum, smooth_sum, out_reg_sum = [], [], []
+    loss_sum = 0.0
+    pending = []  # (device (loss[K], terms[K]), n_valid); ONE fetch at end
+    for run in runs_of_equal_size(loader):
+        for _hosts, device_window, n_valid, _skipped in prefetch_windows(
+                iter(run), prepare, window=window, depth=prefetch_depth):
+            pending.append((fused_eval_step(params, device_window),
+                            n_valid))
+            n += n_valid
+    if pending:
+        import jax
+        for (loss_k, (smooth_k, photo_k, out_k)), n_valid in \
+                jax.device_get(pending):
+            for i in range(n_valid):
+                photo_sum = add_loss(photo_sum, [p[i] for p in photo_k])
+                smooth_sum = add_loss(smooth_sum, [s[i] for s in smooth_k])
+                out_reg_sum = add_loss(out_reg_sum, [o[i] for o in out_k])
+                loss_sum += float(loss_k[i])
+    return _emit_validation(logger, tags, samples_passed, n, loss_sum,
+                            smooth_sum, photo_sum, out_reg_sum)

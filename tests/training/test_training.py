@@ -144,6 +144,36 @@ def test_validation():
     assert 'General/Validation loss' in tags
 
 
+def test_validation_windowed_matches_per_batch():
+    """Device-queue validation must emit the SAME scalars as the
+    per-batch pass — including across a remainder-size final batch
+    (separate equal-size run) and a repeat-padded partial window."""
+    from dvs_of_training_framework_tpu.training.state import \
+        make_fused_eval_step
+    from dvs_of_training_framework_tpu.training.train import \
+        validate_windowed
+
+    model, params, tx, evaluator, loader, args = build()
+    eval_step = make_eval_step(model, evaluator, [0.5, 1, 1], is_raw=True)
+    window = 2
+    fused = make_fused_eval_step(model, evaluator, [0.5, 1, 1], window,
+                                 is_raw=True)
+    dataset = loader.dataset
+    # batch_size=4 over 10 samples -> sizes [4, 4, 2]: one full window
+    # of the size-4 run, then the size-2 remainder as a partial window
+    log_a, log_b = ListLogger(), ListLogger()
+    loss_a = validate(eval_step, params,
+                      HostDataLoader(dataset, batch_size=4), 0, log_a,
+                      shapes2tags(evaluator.shapes),
+                      event_capacity=CAPACITY)
+    loss_b = validate_windowed(fused, params,
+                               HostDataLoader(dataset, batch_size=4), 0,
+                               log_b, shapes2tags(evaluator.shapes),
+                               window=window, event_capacity=CAPACITY)
+    assert log_a.scalars == log_b.scalars
+    assert loss_a == loss_b
+
+
 @pytest.mark.parametrize('optimizer', ['ADAM', 'RADAM', 'RANGER'])
 def test_optimizers_step(optimizer):
     model, params, tx, evaluator, loader, args = build(optimizer=optimizer)

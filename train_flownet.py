@@ -60,7 +60,8 @@ def pad_sequence_length(args):
 
 
 def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
-                 event_image_fn=None, localize_params=False):
+                 event_image_fn=None, localize_params=False,
+                 fused_eval_step=None, eval_window=0):
     """Periodic hooks: serialization every checkpointing_interval,
     validation every vp (reference train_flownet.py:112-126).
 
@@ -95,7 +96,8 @@ def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
             eval_step, get_params,
             loader_factory, logger, tags, is_raw=True,
             event_capacity=args.event_capacity,
-            sequence_length=pad_sequence_length(args))
+            sequence_length=pad_sequence_length(args),
+            fused_eval_step=fused_eval_step, window=eval_window)
         periods['validation'] = args.vp
     periodic_hooks = {k: make_hook_periodic(hooks[k], periods[k])
                       for k in periods}
@@ -247,6 +249,15 @@ def main(argv=None):
                 window, is_raw=args.is_raw)
     eval_step = make_eval_step(model, evaluator, args.loss_weights,
                                is_raw=True)
+    # windowed validation rides the same device-queue window as training
+    # (mesh validation stays per-batch: its eval runs single-device on
+    # localized params and the queue's place_fn is mesh-committed)
+    fused_eval_step = None
+    if window > 0 and args.mesh is None and not args.skip_validation:
+        from dvs_of_training_framework_tpu.training.state import \
+            make_fused_eval_step
+        fused_eval_step = make_fused_eval_step(
+            model, evaluator, args.loss_weights, window, is_raw=True)
 
     state = create_train_state(params, tx)
     state_holder = {'state': state}
@@ -266,7 +277,9 @@ def main(argv=None):
         periodic_hooks, hooks = create_hooks(args, serializer,
                                              state_holder, eval_step,
                                              logger, tags, event_image_fn,
-                                             localize_params=n_proc > 1)
+                                             localize_params=n_proc > 1,
+                                             fused_eval_step=fused_eval_step,
+                                             eval_window=window)
     else:
         # process 0 owns all side-effects (checkpoints, TB, validation);
         # the collective train step itself runs on every process
