@@ -16,6 +16,7 @@ mkdir -p "$MODEL_DIR"
 
 run_once() {
     DVS_DATA_PATH=$REPO/experiments/synth_varied_layout \
+    PYTHONUNBUFFERED=1 \
     python train_flownet.py \
         -m "$MODEL_DIR" \
         --flownet_path "$REPO/EVFlowNet" \
