@@ -57,9 +57,10 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
             per-batch offsets, ``schema.PooledEventWire``) instead of K
             capacity-padded buffers — bit-identical values, ~`1 - fill`
             fewer event bytes on the wire.  Requires the packed wire
-            (falls back to padded stacking otherwise) and is not
-            composable with a mesh ``place_fn`` (the pool has no shard
-            axis).  The pool length grows monotonically (largest seen),
+            (falls back to padded stacking otherwise).  Mesh-split
+            batches pool per shard cell (schema.pool_packed_wires) and
+            the mesh ``place_fn`` shards the pool's leading axes.  The
+            pool length grows monotonically (largest seen),
             so shape-driven recompiles are bounded by upward drift in
             the window's event count.
 

@@ -135,9 +135,18 @@ def pool_packed_wires(buffers, n_valid: int, granule: int = 0,
                       min_pool: int = 0) -> PooledEventWire:
     """Build a window event pool from K per-batch ``PackedEventBuffer``s.
 
+    Mesh-split buffers carry leading shard axes before the capacity axis
+    (``[D, C]`` or ``[D, E, C]``, parallel/mesh.py split_batch_for_mesh):
+    the pool is then built PER SHARD CELL — every cell concatenates its
+    own valid events across the window's K batches, all cells share one
+    (max-derived) pool length so the arrays stay rectangular, and the
+    device-side slice (``slice_pooled_events``) vmaps over the shard
+    axes.  Sharding the pool over the mesh is then just a NamedSharding
+    on the leading axes (parallel/mesh.py shard_host_batch).
+
     Args:
         buffers: K compacted wires (``pack_events_wire`` output; valid
-            events lead, ``packed.shape[0]`` is the capacity).
+            events lead, the trailing axis is the capacity).
         n_valid: real batches in the window; entries past it are repeat
             padding and alias the last real batch's pool region instead
             of duplicating its bytes.
@@ -147,30 +156,50 @@ def pool_packed_wires(buffers, n_valid: int, granule: int = 0,
             largest pool built so far, so shapes grow monotonically and
             a small final window reuses an already-compiled shape).
     """
-    capacity = int(buffers[0].packed.shape[0])
+    capacity = int(buffers[0].packed.shape[-1])
+    lead = buffers[0].packed.shape[:-1]     # () flat | (D,) | (D, E)
     granule = granule or capacity
-    ns = [int(np.asarray(b.num_events)) for b in buffers[:n_valid]]
-    offsets = np.zeros(len(buffers), np.int32)
-    offsets[:n_valid] = np.cumsum([0] + ns[:-1], dtype=np.int64)
+    K = len(buffers)
+    # valid counts per (batch, cell); padding entries repeat the last
+    # real batch, aliasing its pool region instead of re-shipping it
+    ns = np.zeros((K,) + lead, np.int64)
+    for k in range(n_valid):
+        ns[k] = np.asarray(buffers[k].num_events)
+    ns[n_valid:] = ns[n_valid - 1]
+    real = ns[:n_valid]
+    offsets = np.zeros((K,) + lead, np.int64)
+    offsets[1:n_valid] = np.cumsum(real[:-1], axis=0)
     offsets[n_valid:] = offsets[n_valid - 1]
-    nums = np.asarray(ns + [ns[-1]] * (len(buffers) - n_valid), np.int32)
-    total = int(sum(ns))
+    total = int(real.sum(axis=0).max(initial=0))
     pool_len = max(-(-max(total, 1) // granule) * granule + capacity,
                    min_pool)
-    packed = np.zeros(pool_len, np.uint32)
+    packed = np.zeros(lead + (pool_len,), np.uint32)
     ts_dtype = np.asarray(buffers[0].timestamp).dtype
-    timestamp = np.zeros(pool_len, ts_dtype)
-    pos = 0
-    for b, n in zip(buffers[:n_valid], ns):
-        packed[pos:pos + n] = np.asarray(b.packed)[:n]
-        timestamp[pos:pos + n] = np.asarray(b.timestamp)[:n]
-        pos += n
+    timestamp = np.zeros(lead + (pool_len,), ts_dtype)
+    for cell in np.ndindex(lead or (1,)):
+        idx = cell if lead else ()
+        pos = 0
+        for k in range(n_valid):
+            n = int(ns[(k,) + idx])
+            packed[idx][pos:pos + n] = \
+                np.asarray(buffers[k].packed)[idx][:n]
+            timestamp[idx][pos:pos + n] = \
+                np.asarray(buffers[k].timestamp)[idx][:n]
+            pos += n
     scale = None
     if buffers[0].timestamp_scale is not None:
-        scale = np.stack([np.float32(np.asarray(b.timestamp_scale))
-                          for b in buffers]).astype(np.float32)
+        # [K] flat (legacy layout) / [*lead, K] sharded — the window axis
+        # stays LAST on shard-carrying leaves so leading-axis mesh specs
+        # apply uniformly across the wire's arrays
+        scale = np.stack([np.asarray(b.timestamp_scale, np.float32)
+                          for b in buffers],
+                         axis=-1 if lead else 0).astype(np.float32)
+    if lead:   # window axis last (see scale comment)
+        offsets = np.moveaxis(offsets, 0, -1)
+        ns = np.moveaxis(ns, 0, -1)
     return PooledEventWire(packed=packed, timestamp=timestamp,
-                           offsets=offsets, num_events=nums,
+                           offsets=offsets.astype(np.int32),
+                           num_events=ns.astype(np.int32),
                            timestamp_scale=scale, capacity=capacity)
 
 
@@ -182,31 +211,58 @@ def slice_pooled_events(ev: PooledEventWire, idx,
     slice may start mid-pool (neighbouring batches' records fill the
     tail), so every field is re-masked to the ``pad_events`` padding
     layout (zeros, ``sample_index == batch_size``) before use.
+
+    Mesh pools carry leading shard axes (``pool_packed_wires``) with the
+    window axis LAST on offsets/num_events: the per-cell slice is vmapped
+    over each shard axis, and the padding marker is the PER-DATA-SHARD
+    batch size (the packed records' sample indices are shard-local,
+    parallel/mesh.py split_batch_for_mesh).
     """
     import jax
     C = ev.capacity
-    off = jax.lax.dynamic_index_in_dim(ev.offsets, idx, 0, keepdims=False)
-    n = jax.lax.dynamic_index_in_dim(ev.num_events, idx, 0, keepdims=False)
-    p = jax.lax.dynamic_slice(ev.packed, (off,), (C,))
-    t = jax.lax.dynamic_slice(ev.timestamp, (off,), (C,))
-    if t.dtype != jnp.float32:   # u16 quantized wire
-        scale = jax.lax.dynamic_index_in_dim(ev.timestamp_scale, idx, 0,
-                                             keepdims=False)
-        t = t.astype(jnp.float32) * scale
-    valid = jnp.arange(C, dtype=jnp.int32) < n
-    zero = jnp.zeros([], jnp.int32)
-    return EventBuffer(
-        x=jnp.where(valid, (p & 0x3FF).astype(jnp.int32), zero),
-        y=jnp.where(valid, ((p >> 10) & 0x3FF).astype(jnp.int32), zero),
-        timestamp=jnp.where(valid, t, 0.0),
-        polarity=jnp.where(
-            valid, (((p >> 20) & 0x3).astype(jnp.int32) - 1), zero
-        ).astype(jnp.float32),
-        element_index=jnp.where(valid, ((p >> 22) & 0xF).astype(jnp.int32),
-                                zero),
-        sample_index=jnp.where(valid, ((p >> 26) & 0x3F).astype(jnp.int32),
-                               jnp.int32(batch_size)),
-        num_events=n)
+    lead = ev.packed.shape[:-1]
+
+    def one(packed, timestamp, off, n, scale):
+        p = jax.lax.dynamic_slice(packed, (off,), (C,))
+        t = jax.lax.dynamic_slice(timestamp, (off,), (C,))
+        if t.dtype != jnp.float32:   # u16 quantized wire
+            t = t.astype(jnp.float32) * scale
+        valid = jnp.arange(C, dtype=jnp.int32) < n
+        zero = jnp.zeros([], jnp.int32)
+        marker = batch_size // (lead[0] if lead else 1)
+        return EventBuffer(
+            x=jnp.where(valid, (p & 0x3FF).astype(jnp.int32), zero),
+            y=jnp.where(valid, ((p >> 10) & 0x3FF).astype(jnp.int32),
+                        zero),
+            timestamp=jnp.where(valid, t, 0.0),
+            polarity=jnp.where(
+                valid, (((p >> 20) & 0x3).astype(jnp.int32) - 1), zero
+            ).astype(jnp.float32),
+            element_index=jnp.where(
+                valid, ((p >> 22) & 0xF).astype(jnp.int32), zero),
+            sample_index=jnp.where(
+                valid, ((p >> 26) & 0x3F).astype(jnp.int32),
+                jnp.int32(marker)),
+            num_events=n)
+
+    take = jax.lax.dynamic_index_in_dim
+    if not lead:
+        scale = None if ev.timestamp_scale is None else \
+            take(ev.timestamp_scale, idx, 0, keepdims=False)
+        return one(ev.packed, ev.timestamp,
+                   take(ev.offsets, idx, 0, keepdims=False),
+                   take(ev.num_events, idx, 0, keepdims=False), scale)
+
+    # shard-carrying pool: window axis is last on offsets/num_events/scale
+    off = take(ev.offsets, idx, ev.offsets.ndim - 1, keepdims=False)
+    n = take(ev.num_events, idx, ev.num_events.ndim - 1, keepdims=False)
+    scale = jnp.zeros(lead, jnp.float32) if ev.timestamp_scale is None \
+        else take(ev.timestamp_scale, idx, ev.timestamp_scale.ndim - 1,
+                  keepdims=False)
+    fn = one
+    for _ in lead:   # nested vmap over every shard axis
+        fn = jax.vmap(fn)
+    return fn(ev.packed, ev.timestamp, off, n, scale)
 
 
 def packable(batch: Batch) -> bool:

@@ -181,12 +181,18 @@ def shard_host_batch(batch: Batch, mesh: Mesh, axis: str = 'data',
 
     With ``window=True`` every array carries an extra leading device-queue
     window axis (K stacked batches, data/device_queue.py) which is
-    replicated: specs gain a leading ``None``.
+    replicated: specs gain a leading ``None``.  A pooled event wire
+    (``schema.PooledEventWire``) is the exception: its leaves carry the
+    shard axes FIRST (window last or absorbed into the pool), so its spec
+    has no leading ``None`` regardless of ``window``.
     """
+    from ..data.schema import PooledEventWire
+
     lead = (None,) if window else ()
     data_sharding = NamedSharding(mesh, P(*lead, axis))
-    event_sharding = NamedSharding(mesh, P(*lead, axis, event_axis)) \
-        if event_axis else data_sharding
+    event_lead = () if isinstance(batch.events, PooledEventWire) else lead
+    event_sharding = NamedSharding(
+        mesh, P(*event_lead, axis, *((event_axis,) if event_axis else ())))
 
     events = batch.events
     if events is not None:
@@ -373,6 +379,16 @@ def make_sharded_fused_window_step(model, evaluator, tx, weights,
     single = step.__wrapped__._single
 
     def fused(state, window_batch):
+        from ..data.schema import PooledEventWire, slice_window_batch
+        if isinstance(window_batch.events, PooledEventWire):
+            # the flat pool has no leading K axis to ride the scan's xs;
+            # scan the step index and cut batch k out of the closure-
+            # captured window (training/state.py fused pooled twin)
+            def body_pooled(st, idx):
+                return single(st, slice_window_batch(window_batch, idx))
+            return jax.lax.scan(body_pooled, state,
+                                jnp.arange(window, dtype=jnp.int32),
+                                length=window)
         return jax.lax.scan(single, state, window_batch, length=window)
 
     return jax.jit(fused, donate_argnums=(0,))

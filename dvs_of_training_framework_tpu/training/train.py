@@ -312,9 +312,6 @@ def train(train_step,
             f'resumed micro_step {micro0} is not aligned to the device-' \
             f'queue window {window}; train with a window that divides ' \
             'the checkpoint cadence or disable the device queue'
-        assert wire_events == 'padded' or place_window is None, \
-            '--wire-events pooled is not composable with mesh mode: the ' \
-            'event pool has no shard axis for the mesh place_window'
         from ..data.device_queue import prefetch_windows
         stream = prefetch_windows(iter(loader), make_device_batch,
                                   window=window, depth=prefetch_depth,

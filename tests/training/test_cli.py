@@ -176,6 +176,21 @@ def test_train_cli_pooled_event_wire(tmp_path, mvsec_layout):
     assert int(state['samples_passed']) == 4
 
 
+def test_train_cli_pooled_wire_mesh(tmp_path, mvsec_layout):
+    """--wire-events pooled x --mesh (round-4 lift): the window event
+    pool is built per shard cell and sharded over the mesh's leading
+    axes by the mesh place_window."""
+    model_dir = run_cli(tmp_path, mvsec_layout,
+                        extra=['--wire-events', 'pooled',
+                               '--device-queue-window', '2',
+                               '--mesh', 'data:2'])
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    ser = Serializer(model_dir)
+    assert 2 in ser.list_known_steps()
+    state = ser.read_state_dict(2)
+    assert int(state['samples_passed']) == 4
+
+
 def test_train_cli_u16_timestamp_wire(tmp_path, mvsec_layout):
     """--wire-timestamps u16 trains end-to-end through the device queue
     (quantized event-timestamp uploads) and checkpoints normally."""

@@ -29,7 +29,8 @@ TAGS = ['4x4', '8x8', '16x16', '32x32']
 
 
 def run_mesh(model, params, tx, evaluator, batches, window, num_steps,
-             n_dev=2, fused=False, accum=1, event_axis=None):
+             n_dev=2, fused=False, accum=1, event_axis=None,
+             wire_events='padded'):
     mesh_spec = f'data:{n_dev}' + \
         (f',event:{2}' if event_axis else '')
     mesh = make_mesh(mesh_spec)
@@ -71,8 +72,41 @@ def run_mesh(model, params, tx, evaluator, batches, window, num_steps,
                            metric_flush_steps=2,
                            prepare_batch=prepare_batch,
                            place_window=place_window,
-                           train_step_fused=step_fused)
+                           train_step_fused=step_fused,
+                           wire_events=wire_events)
     return state, samples, logger
+
+
+def test_mesh_window_pooled_wire_matches_padded():
+    """The per-shard-cell event pool (schema.pool_packed_wires with
+    leading shard axes) is bit-identical to the padded wire under the
+    mesh window step."""
+    setup = make_setup(4)
+    assert_same(run_mesh(*setup, window=2, num_steps=4),
+                run_mesh(*setup, window=2, num_steps=4,
+                         wire_events='pooled'))
+
+
+def test_mesh_fused_window_pooled_wire():
+    """Pooled wire through the sharded fused scan (index-scan branch)
+    matches per-batch mesh training."""
+    setup = make_setup(4)
+    assert_same(run_mesh(*setup, window=0, num_steps=4),
+                run_mesh(*setup, window=2, num_steps=4, fused=True,
+                         wire_events='pooled'),
+                exact=False)
+
+
+def test_mesh_pooled_wire_with_event_axis():
+    """Pooled wire composes with 2-D data x event sharding: the pool
+    carries two leading shard axes, one cell per (data, event) pair."""
+    if len(jax.devices()) < 4:
+        pytest.skip('needs 4 devices')
+    setup = make_setup(4)
+    assert_same(run_mesh(*setup, window=2, num_steps=4,
+                         event_axis='event'),
+                run_mesh(*setup, window=2, num_steps=4,
+                         event_axis='event', wire_events='pooled'))
 
 
 def test_mesh_window_matches_mesh_per_batch():

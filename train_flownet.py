@@ -188,9 +188,6 @@ def main(argv=None):
         from dvs_of_training_framework_tpu.parallel import (
             make_global_batch, make_mesh, make_sharded_fused_window_step,
             make_sharded_train_step, split_batch_for_mesh)
-        assert args.wire_events == 'padded', \
-            '--wire-events pooled is not composable with --mesh: the ' \
-            'event pool has no shard axis'
         mesh = make_mesh(args.mesh)
         event_axis = 'event' if 'event' in mesh.shape else None
         event_shards = mesh.shape.get('event', 1)
