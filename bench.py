@@ -36,6 +36,10 @@ IMSIZE = (256, 256)
 WARMUP = int(os.environ.get('BENCH_WARMUP', 3))
 ITERS = int(os.environ.get('BENCH_ITERS', 20))
 SCATTER = os.environ.get('BENCH_SCATTER', 'auto')
+# Model plugin to bench (directory name under the repo root).  The
+# headline stays the EVFlowNet flagship; BENCH_FLOWNET=RecurrentFlowNet
+# benches the ConvGRU recurrent plugin through the identical protocol.
+FLOWNET = os.environ.get('BENCH_FLOWNET', 'EVFlowNet')
 # Configurations measured.  'golden' is exact-fp32 (the loss-golden mode
 # the tests pin); 'recipe' is the production bf16 recipe
 # (--precision bfloat16 --loss-precision bf16x2), accuracy-validated by
@@ -65,8 +69,8 @@ def _simulated_stream(rng):
     return _SIM
 
 
-def make_batch(rng, sample_offset=0):
-    from dvs_of_training_framework_tpu.data.schema import Batch, pad_events
+def make_collated(rng, sample_offset=0):
+    """Host-collated ragged batch dict (pre-padding), bench workload."""
     H, W = IMSIZE
     events, frames, frame_ts, _gt = _simulated_stream(rng)
     n_windows = frame_ts.size - 1
@@ -102,12 +106,24 @@ def make_batch(rng, sample_offset=0):
         'element_index': np.concatenate(eis),
         'sample_index': np.concatenate(sis),
     }
+    return {
+        'events': ev,
+        'timestamps': np.asarray(timestamps, np.float32),
+        'sample_idx': np.repeat(np.arange(BATCH_SIZE), 2).astype(np.int32),
+        'images': np.stack(images)[:, None].astype(np.float32),
+        'size': BATCH_SIZE,
+    }
+
+
+def make_batch(rng, sample_offset=0):
+    from dvs_of_training_framework_tpu.data.schema import Batch, pad_events
+    c = make_collated(rng, sample_offset)
     return Batch(
-        events=pad_events(ev, BATCH_SIZE, CAPACITY),
+        events=pad_events(c['events'], BATCH_SIZE, CAPACITY),
         data=None,
-        timestamps=np.asarray(timestamps, np.float32),
-        sample_idx=np.repeat(np.arange(BATCH_SIZE), 2).astype(np.int32),
-        images=np.stack(images)[:, None].astype(np.float32),
+        timestamps=c['timestamps'],
+        sample_idx=c['sample_idx'],
+        images=c['images'],
         size=BATCH_SIZE)
 
 
@@ -123,10 +139,11 @@ def measure_tpu(dtype='float32', loss_prec='highest'):
     from dvs_of_training_framework_tpu.training.state import (
         create_train_state, make_train_step)
 
-    module = load_model_class(REPO / 'EVFlowNet')
-    model = module.Model(event_representation_depth=DEPTH,
-                         base_channels=BASE, dtype=dtype,
-                         scatter_method=SCATTER)
+    from dvs_of_training_framework_tpu.models.loader import filter_kwargs
+    module = load_model_class(REPO / FLOWNET)
+    model = module.Model(**filter_kwargs(module.Model, dict(
+        event_representation_depth=DEPTH, base_channels=BASE, dtype=dtype,
+        scatter_method=SCATTER, max_sequence_length=1)))
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
     params = model.init(jax.random.PRNGKey(0), batch.events,
@@ -220,8 +237,8 @@ def main():
               for m in modes for k, v in results[m].items()}
     print(json.dumps({
         'metric': 'event-batches/sec/chip (full train step, bs=8, '
-                  'simulated-DVS clustered events, 256x256, EVFlowNet-64, '
-                  f'{head} config)',
+                  f'simulated-DVS clustered events, 256x256, {FLOWNET}-'
+                  f'{BASE}, {head} config)',
         'value': round(result['batches_per_sec'], 3),
         'unit': 'batches/s',
         'vs_baseline': (round(vs_baseline, 2)
