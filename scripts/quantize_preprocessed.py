@@ -40,9 +40,14 @@ def parse_args(args, is_write=True):
         choose_data_path
     from dvs_of_training_framework_tpu.utils.common import (
         check_execution_info, collect_execution_info, write_execution_info)
+    from dvs_of_training_framework_tpu.utils.options import \
+        resolve_event_capacity
 
     args.output.mkdir(exist_ok=True, parents=True)
     args = choose_data_path(args)
+    # resolve --event-capacity auto before provenance is collected so the
+    # recorded (and resume-checked) value is the concrete buffer size
+    resolve_event_capacity(args)
 
     execution_info = collect_execution_info(args)
     check_execution_info(args.output, execution_info, args)

@@ -74,6 +74,26 @@ def test_prepare_batches_main(tmp_path):
     assert (batch['events']['x'] == ref['events']['x']).all()
 
 
+def test_quantize_parse_args_resolves_auto_capacity(tmp_path):
+    """scripts/quantize_preprocessed.parse_args resolves --event-capacity
+    auto to a concrete int (regression: it stayed the string 'auto' and
+    broke the oversize check in main with a str/int comparison)."""
+    from scripts.quantize_preprocessed import parse_args
+    from tests.dataset.test_preprocessed import write_shards
+
+    shards, _ = write_shards(tmp_path, samples_per_file=4, num_files=2)
+    ckpt = tmp_path / 'step_1.ckpt'
+    ckpt.write_bytes(b'stub')
+    args = parse_args(['-o', str(tmp_path / 'quant'), '-s', '8',
+                       '--samples-per-file', '4',
+                       '--flownet_path', str(REPO / 'EVFlowNet'),
+                       '--preprocessed-dataset-path', str(shards),
+                       '--event-capacity', 'auto',
+                       '-sp', str(ckpt)], is_write=False)
+    assert isinstance(args.event_capacity, int)
+    assert args.event_capacity >= 1024
+
+
 def test_quantized_baking_roundtrip(tmp_path):
     """model.quantize -> encode_quantized_batch -> shard -> decode."""
     import jax
