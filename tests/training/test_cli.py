@@ -163,6 +163,17 @@ def test_train_cli_auto_event_capacity(tmp_path, mvsec_layout):
     # resume with 'auto' resolves to the same value: provenance gate holds
     run_cli(tmp_path, mvsec_layout, extra=extra)
 
+def test_train_cli_validation_window_opt_in(tmp_path, mvsec_layout):
+    """--validation-window K runs the windowed validation path end-to-end
+    (explicit opt-in; the default stays per-batch, see PERFORMANCE.md
+    'Windowed validation: measured closure')."""
+    model_dir = run_cli(tmp_path, mvsec_layout,
+                        extra=['--validation-window', '2',
+                               '--device-queue-window', '2'])
+    from dvs_of_training_framework_tpu.training.serializer import Serializer
+    assert 2 in Serializer(model_dir).list_known_steps()
+
+
 def test_train_cli_pooled_event_wire(tmp_path, mvsec_layout):
     """--wire-events pooled trains end-to-end through the device queue
     (window event pool on the wire) and checkpoints normally."""

@@ -246,15 +246,19 @@ def main(argv=None):
                 window, is_raw=args.is_raw)
     eval_step = make_eval_step(model, evaluator, args.loss_weights,
                                is_raw=True)
-    # windowed validation rides the same device-queue window as training
-    # (mesh validation stays per-batch: its eval runs single-device on
-    # localized params and the queue's place_fn is mesh-committed)
+    # windowed validation is an explicit opt-in (--validation-window K):
+    # through the tunnelled wire it measured neutral-to-worse vs per-batch
+    # (PERFORMANCE.md "Windowed validation: measured closure"), so the
+    # default stays per-batch.  (Mesh validation stays per-batch: its
+    # eval runs single-device on localized params and the queue's
+    # place_fn is mesh-committed.)
+    val_window = getattr(args, 'validation_window', 0)
     fused_eval_step = None
-    if window > 0 and args.mesh is None and not args.skip_validation:
+    if val_window > 0 and args.mesh is None and not args.skip_validation:
         from dvs_of_training_framework_tpu.training.state import \
             make_fused_eval_step
         fused_eval_step = make_fused_eval_step(
-            model, evaluator, args.loss_weights, window, is_raw=True)
+            model, evaluator, args.loss_weights, val_window, is_raw=True)
 
     state = create_train_state(params, tx)
     state_holder = {'state': state}
@@ -276,7 +280,7 @@ def main(argv=None):
                                              logger, tags, event_image_fn,
                                              localize_params=n_proc > 1,
                                              fused_eval_step=fused_eval_step,
-                                             eval_window=window)
+                                             eval_window=val_window)
     else:
         # process 0 owns all side-effects (checkpoints, TB, validation);
         # the collective train step itself runs on every process
