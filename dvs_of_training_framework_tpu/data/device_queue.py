@@ -33,7 +33,7 @@ def stack_batches(batches):
 
 def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
                      place_fn=None, quantize_ts: bool = False,
-                     pool_events: bool = False):
+                     pool_events: bool = False, data_wire: str = 'f32'):
     """Yield ``(host_batches, device_window, n_valid)`` tuples.
 
     Args:
@@ -145,7 +145,8 @@ def prefetch_windows(batch_iter, prepare_fn, window: int, depth: int = 2,
                                     compact_batch(prepared,
                                                   pack=wire_pack[0],
                                                   quantize_ts=quantize_ts
-                                                  and wire_pack[0])))
+                                                  and wire_pack[0],
+                                                  data_wire=data_wire)))
                 except OverflowError:
                     skipped.append(host_batch)
                     continue

@@ -363,8 +363,8 @@ def pack_events_wire(ev: EventBuffer,
                              timestamp_scale=scale)
 
 
-def compact_batch(batch: Batch, pack=None, quantize_ts: bool = False
-                  ) -> Batch:
+def compact_batch(batch: Batch, pack=None, quantize_ts: bool = False,
+                  data_wire: str = 'f32') -> Batch:
     """Narrow a device-ready Batch to compact wire dtypes: bit-packed
     uint32 event records when the run's shapes allow it (8 B/event),
     int16 coordinates/indices + int8 polarity otherwise, and uint8
@@ -386,6 +386,13 @@ def compact_batch(batch: Batch, pack=None, quantize_ts: bool = False
             (packed wire only; ~5 µs absolute error on MVSEC-scale
             windows — see PackedEventBuffer).  Like ``pack`` this must
             be held constant across a streamed run.
+        data_wire: 'f32' (default, exact) or 'bf16' — ship the dense
+            quantized representation (--ev_images batches) as bfloat16,
+            halving its wire bytes.  Under --precision bfloat16 this is
+            effect-lossless: the model casts its input to bf16 before
+            the first conv, and f32->bf16->f32->bf16 equals f32->bf16
+            (the second rounding is exact).  Under fp32 precision it is
+            a real ~2^-8 relative quantization — opt-in only.
     """
     ev = batch.events
     if pack is None:
@@ -409,7 +416,11 @@ def compact_batch(batch: Batch, pack=None, quantize_ts: bool = False
         as_u8 = images.astype(np.uint8)
         if np.array_equal(as_u8.astype(np.float32), images):
             images = as_u8
-    return Batch(events=ev, data=batch.data, timestamps=batch.timestamps,
+    data = batch.data
+    if data is not None and data_wire == 'bf16':
+        import ml_dtypes
+        data = np.asarray(data).astype(ml_dtypes.bfloat16)
+    return Batch(events=ev, data=data, timestamps=batch.timestamps,
                  sample_idx=batch.sample_idx, images=images,
                  size=batch.size)
 
@@ -451,7 +462,10 @@ def expand_batch(batch: Batch) -> Batch:
     images = batch.images
     if images is not None and images.dtype != jnp.float32:
         images = images.astype(jnp.float32)
-    return Batch(events=ev, data=batch.data, timestamps=batch.timestamps,
+    data = batch.data
+    if data is not None and data.dtype != jnp.float32:
+        data = data.astype(jnp.float32)   # bf16 data wire
+    return Batch(events=ev, data=data, timestamps=batch.timestamps,
                  sample_idx=batch.sample_idx, images=images,
                  size=batch.size)
 

@@ -61,7 +61,8 @@ def train(train_step,
           place_window=None,
           samples_scale: int = 1,
           wire_timestamps: str = 'f32',
-          wire_events: str = 'padded'):
+          wire_events: str = 'padded',
+          wire_data: str = 'f32'):
     """Run the training loop.
 
     Args:
@@ -103,6 +104,10 @@ def train(train_step,
             values, ~`1 - fill` fewer event bytes; see
             schema.PooledEventWire).  Device-queue path only; not
             composable with a mesh ``place_window``.
+        wire_data: 'f32' (default, exact) or 'bf16' — ship dense
+            quantized batches (--ev_images) as bfloat16, halving their
+            wire bytes; effect-lossless under --precision bfloat16
+            (see schema.compact_batch).  Device-queue path only.
         samples_scale: multiplier applied to every host batch's ``size``
             when accounting samples_passed — multi-host processes see only
             their ``1/process_count`` slice of each global batch, but
@@ -317,7 +322,8 @@ def train(train_step,
                                   window=window, depth=prefetch_depth,
                                   place_fn=place_window,
                                   quantize_ts=wire_timestamps == 'u16',
-                                  pool_events=wire_events == 'pooled')
+                                  pool_events=wire_events == 'pooled',
+                                  data_wire=wire_data)
         timers('batch_construction').start()
         done = False
         for host_batches, device_window, n_valid, skipped in stream:

@@ -373,7 +373,8 @@ def main(argv=None):
             place_window=place_window,
             samples_scale=n_proc,
             wire_timestamps=args.wire_timestamps,
-            wire_events=args.wire_events)
+            wire_events=args.wire_events,
+            wire_data=args.wire_data)
 
     state_holder['state'] = state
     samples = samples_passed
