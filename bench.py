@@ -193,9 +193,10 @@ def measure_tpu(dtype='float32', loss_prec='highest'):
     n_run = 0
     t0 = None
     wire_u16 = os.environ.get('BENCH_WIRE_TS', 'f32') == 'u16'
+    wire_pooled = os.environ.get('BENCH_WIRE_EVENTS', 'padded') == 'pooled'
     for hosts, dev_window, n_valid, _sk in prefetch_windows(
             iter(host_batches), lambda b: b, window=window, depth=2,
-            quantize_ts=wire_u16):
+            quantize_ts=wire_u16, pool_events=wire_pooled):
         state_q, (loss_q, _) = fused_step(state_q, dev_window)
         n_run += n_valid
         if t0 is None:                 # first window = warmup + compile

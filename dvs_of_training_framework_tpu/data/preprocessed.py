@@ -64,6 +64,33 @@ def per_sample_event_counts(path) -> np.ndarray:
     return np.concatenate(counts)
 
 
+def per_sample_channel_counts(path) -> np.ndarray:
+    """Channel count of every DENSE (quantized) stream sample, in order.
+
+    The dense analogue of :func:`per_sample_event_counts`: quantized
+    shards store ``(B*C, H, W)`` planes plus ``channels_per_sample``
+    (reference utils/dataset.py:429-479), so a sample's device-side size
+    is its channel count.  With static sequence lengths every sample has
+    the same count; with ``--dynamic-sample-length`` the counts vary and
+    the multi-host skip rule needs them to stay globally deterministic
+    (parallel/distributed.py ShardedBatchSkipper with these counts).
+    """
+    files = sorted(Path(path).glob('*.hdf5'), key=lambda p: int(p.stem))
+    if not files:
+        raise FileNotFoundError(
+            f'No preprocessed dataset at {path} (no .hdf5 files)')
+    counts = []
+    for f in files:
+        with h5py.File(f, 'r') as shard:
+            if 'channels_per_sample' not in shard:
+                raise ValueError(
+                    'per-sample channel counts require quantized (dense) '
+                    f'shards; {f} holds raw event samples')
+            counts.append(np.asarray(shard['channels_per_sample'],
+                                     np.int64))
+    return np.concatenate(counts)
+
+
 def max_batch_events(path, batch_size: int) -> int:
     """Largest event count a batch of ``batch_size`` consecutive samples
     can reach, over every stream alignment including the epoch wrap.

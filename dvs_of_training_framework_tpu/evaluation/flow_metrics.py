@@ -58,6 +58,28 @@ def _endpoint_stats(gt_masked, pred_masked):
     return AEE, percent_AEE, n_points
 
 
+def endpoint_error_stats(flow_gt, flow_pred, event_img, is_car=False,
+                         is_dense=False):
+    """Per-window endpoint-error statistics, mean AND robust.
+
+    Same masking as :func:`flow_error_dense`, plus the median endpoint
+    error — the mean is outlier-sensitive (a handful of hard windows can
+    spike a checkpoint's mAEE while the typical pixel keeps improving,
+    ACCURACY.md round-4 caveat), so per-window dumps carry both.
+
+    Returns dict(aee, percent_aee, median_ee, n_points).
+    """
+    gt_masked, apply_mask = masked_gt(flow_gt, event_img, is_car, is_dense)
+    pred_masked = apply_mask(flow_pred)
+    EE = np.linalg.norm(gt_masked - pred_masked, axis=-1)
+    n_points = EE.shape[0]
+    return dict(
+        aee=float(np.mean(EE)) if n_points else 0.0,
+        percent_aee=float((EE < 3.0).sum()) / float(n_points + 1e-5),
+        median_ee=float(np.median(EE)) if n_points else 0.0,
+        n_points=int(n_points))
+
+
 def flow_error_dense(flow_gt, flow_pred, event_img, is_car=False,
                      is_dense=False):
     """Average endpoint error over event-active, valid-GT pixels.

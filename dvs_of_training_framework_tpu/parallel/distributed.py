@@ -134,17 +134,22 @@ class ShardedBatchSkipper:
 
     Args:
         loader: this process's PreprocessedDataloader (already sharded).
-        per_sample_events: int64 ``[length]`` event count per stream
-            sample, identical on every process.
+        per_sample_events: int64 ``[length]`` per-sample device cost,
+            identical on every process — event counts for raw streams,
+            channel counts for dense quantized streams
+            (data/preprocessed.py per_sample_event_counts /
+            per_sample_channel_counts).
         global_batch: samples per GLOBAL batch (local batch x P).
         n_shards: devices on the mesh data axis (global).
-        capacity_per_shard: per-device event-buffer capacity.
+        capacity_per_shard: per-device capacity in the same unit.
         start_sample: global samples already consumed (resume position).
+        unit: display name of the cost unit for the skip log line.
     """
 
     def __init__(self, loader, per_sample_events, global_batch: int,
                  n_shards: int, capacity_per_shard: int,
-                 start_sample: int = 0):
+                 start_sample: int = 0, unit: str = 'events'):
+        self.unit = unit
         import numpy as np
         assert global_batch % n_shards == 0, (global_batch, n_shards)
         self.loader = loader
@@ -183,7 +188,7 @@ class ShardedBatchSkipper:
                                                start + (k + 1) * self.spd)
                             for k in range(self.n_shards))
                 print(f'Skipping batch at sample {start} '
-                      f'(per-shard events {worst} > capacity '
+                      f'(per-shard {self.unit} {worst} > capacity '
                       f'{self.capacity_per_shard})')
                 self.loader.skip_batch()
                 self.cursor += self.global_batch

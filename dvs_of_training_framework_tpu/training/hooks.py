@@ -39,7 +39,8 @@ class ValidationHook:
 
     def __init__(self, eval_step, get_params, loader_factory, logger, tags,
                  is_raw=True, event_capacity=2 ** 18, sequence_length=None,
-                 fused_eval_step=None, window: int = 0):
+                 fused_eval_step=None, window: int = 0,
+                 prepare_batch=None):
         """
         Args:
             eval_step: jitted (params, batch) -> (loss, terms).
@@ -52,7 +53,12 @@ class ValidationHook:
                 (state.make_fused_eval_step); with ``window > 0`` the
                 pass runs through the device queue — identical scalars,
                 K× fewer dispatches (train.validate_windowed).
+            prepare_batch: optional mesh-side batch preparation for a
+                SHARDED eval_step (parallel.make_sharded_eval_step) —
+                validation then runs at mesh speed instead of
+                single-device on localized params.
         """
+        self.prepare_batch = prepare_batch
         self.eval_step = eval_step
         self.get_params = get_params
         self.loader_factory = loader_factory
@@ -76,4 +82,5 @@ class ValidationHook:
         validate(self.eval_step, self.get_params(), self.loader_factory(),
                  samples, self.logger, self.tags, is_raw=self.is_raw,
                  event_capacity=self.event_capacity,
-                 sequence_length=self.sequence_length)
+                 sequence_length=self.sequence_length,
+                 prepare_batch=self.prepare_batch)

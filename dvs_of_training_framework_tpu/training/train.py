@@ -209,6 +209,12 @@ def train(train_step,
                   f'{host_batch["augmentation_params"]}')
         rate = num_processed / max(num_processed + num_skipped, 1)
         print(f'Processing rate is {rate:.2f}')
+        # cumulative counter in TB: multi-host runs compare this curve
+        # across process logs to detect skip divergence (each process's
+        # independent raw stream may legitimately skip different batches;
+        # preprocessed streams must agree exactly — ShardedBatchSkipper)
+        logger.add_scalar('General/skipped batches', num_skipped,
+                          samples_passed)
 
     def run_step(host_batch, device_batch):
         """Per-(micro)batch body: step, metric bookkeeping, hooks."""
@@ -401,20 +407,40 @@ def _emit_validation(logger, tags, samples_passed, n, loss_sum, smooth_sum,
 
 
 def validate(eval_step, params, loader, samples_passed, logger, tags,
-             is_raw=True, event_capacity=2 ** 18, sequence_length=None):
-    """Validation pass (reference utils/training.py:244-271)."""
+             is_raw=True, event_capacity=2 ** 18, sequence_length=None,
+             prepare_batch=None):
+    """Validation pass (reference utils/training.py:244-271).
+
+    ``prepare_batch(collated, capacity) -> device batch`` overrides the
+    default single-device padding — a mesh run passes its training-side
+    split+shard preparation so validation runs sharded at mesh speed
+    (parallel.make_sharded_eval_step); it may raise ValueError to make a
+    batch fall back to nothing (the batch is skipped, counted, logged).
+    """
     n = 0
+    n_dropped = 0
     photo_sum, smooth_sum, out_reg_sum = [], [], []
     loss_sum = 0.0
     pending = []  # device scalars; ONE batched fetch at the end
     for batch in loader:
         if batch_num_events(batch, is_raw) > event_capacity:
             continue
-        device_batch = pad_batch(batch, capacity=event_capacity if is_raw
-                                 else None,
-                                 sequence_length=sequence_length)
+        if prepare_batch is not None:
+            try:
+                device_batch = prepare_batch(batch, event_capacity)
+            except ValueError:
+                n_dropped += 1
+                continue
+        else:
+            device_batch = pad_batch(batch,
+                                     capacity=event_capacity if is_raw
+                                     else None,
+                                     sequence_length=sequence_length)
         pending.append(eval_step(params, device_batch))
         n += 1
+    if n_dropped:
+        print(f'validate: dropped {n_dropped} batches the mesh split '
+              'refused (indivisible remainder)')
     if pending:
         import jax
         for loss, (smoothness, photometric, out_reg) in \

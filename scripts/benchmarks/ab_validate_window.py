@@ -69,12 +69,18 @@ def main():
         return validate(eval_step, params, iter(hosts), 0, logger, tags,
                         is_raw=True, event_capacity=capacity)
 
+    # build the fused step for each window size ONCE, outside the timed
+    # region: a fresh jax.jit wrapper per pass would re-pay trace/lowering
+    # (or compile-cache deserialization) on every timed call and bias the
+    # windowed legs (the per-batch leg's eval_step is built once too)
+    fused_steps = {w: make_fused_eval_step(model, evaluator, [0.5, 1, 1],
+                                           window=w, is_raw=True)
+                   for w in (4, 8, 16)}
+
     def run_windowed(window):
-        fused = make_fused_eval_step(model, evaluator, [0.5, 1, 1],
-                                     window=window, is_raw=True)
-        return validate_windowed(fused, params, iter(hosts), 0, logger,
-                                 tags, window=window, is_raw=True,
-                                 event_capacity=capacity)
+        return validate_windowed(fused_steps[window], params, iter(hosts),
+                                 0, logger, tags, window=window,
+                                 is_raw=True, event_capacity=capacity)
 
     results = {}
     # warmup compile for every variant first, then time 2 passes each

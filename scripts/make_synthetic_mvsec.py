@@ -357,6 +357,14 @@ def main():
     ap.add_argument('out_root', type=Path)
     ap.add_argument('--train-secs', type=float, default=60.0)
     ap.add_argument('--eval-secs', type=float, default=12.0)
+    ap.add_argument('--val-secs', type=float, default=12.0,
+                    help='length of the outdoor_synth3 VALIDATION split '
+                         '(independent phase + seed; 0 disables).  '
+                         'Checkpoint selection happens on this sequence '
+                         'so the test sequence (outdoor_synth1) stays '
+                         'untouched until the headline table — mirrors '
+                         'the reference val/test separation (reference '
+                         'utils/dataloader.py:62-72 + config/testing.yml)')
     ap.add_argument('--seed', type=int, default=7)
     ap.add_argument('--speed', type=float, default=1.0,
                     help='camera drift amplitude scale (~0.35 gives '
@@ -370,7 +378,11 @@ def main():
 
     ds_name = 'synth'
     specs = [('outdoor_synth2', args.train_secs, 0.0),     # train split
-             ('outdoor_synth1', args.eval_secs, 2.1)]      # eval split
+             ('outdoor_synth1', args.eval_secs, 2.1)]      # test split
+    if args.val_secs > 0:
+        # appended LAST so outdoor_synth2/1 keep their seeds (seed+index)
+        # and stay bit-identical to the round 2-4 datasets
+        specs.append(('outdoor_synth3', args.val_secs, 4.2))  # val split
     names, starts = [], []
     for seq_name, secs, phase in specs:
         rng = np.random.default_rng(args.seed + len(names))

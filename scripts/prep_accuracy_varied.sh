@@ -29,9 +29,14 @@ if [ ! -d "$ROOT/training/synth/outdoor_synth2" ]; then
 fi
 
 # the facade mirrors the reference's hardcoded MVSEC split (train =
-# <data_path>/outdoor_day2); alias the synthetic train sequence into it
+# <data_path>/outdoor_day2, val = outdoor_day1); alias the synthetic
+# train sequence and the round-5 validation sequence into it
 ln -sfn "$ROOT/training/synth/outdoor_synth2" \
     "$ROOT/training/synth/outdoor_day2"
+if [ -d "$ROOT/training/synth/outdoor_synth3" ]; then
+    ln -sfn "$ROOT/training/synth/outdoor_synth3" \
+        "$ROOT/training/synth/outdoor_day1"
+fi
 
 DVS_DATA_PATH=$ROOT/training/synth python scripts/prepare_batches.py \
     -o "$SHARDS" -s "$SIZE" --samples-per-file 1024

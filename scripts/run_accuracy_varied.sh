@@ -14,8 +14,17 @@ REPO=$(cd "$(dirname "$0")/.." && pwd)
 cd "$REPO"
 mkdir -p "$MODEL_DIR"
 
+# SKIP_VALIDATION=0 runs the in-train validation pass on the
+# outdoor_synth3 val split every -vp steps (round-5 protocol: the val
+# sequence also drives checkpoint SELECTION via config/synth_val.yml);
+# default 1 preserves the round-3/4 command exactly.
+SKIP_VAL_FLAG=()
+if [ "${SKIP_VALIDATION:-1}" -eq 1 ]; then
+    SKIP_VAL_FLAG=(--skip-validation)
+fi
+
 run_once() {
-    DVS_DATA_PATH=$REPO/experiments/synth_varied_layout \
+    DVS_DATA_PATH=$REPO/experiments/synth_varied_layout/training/synth \
     PYTHONUNBUFFERED=1 \
     python train_flownet.py \
         -m "$MODEL_DIR" \
@@ -26,7 +35,7 @@ run_once() {
         -lr 1e-3 --half_life 20000 --num-warmup-steps 200 \
         --checkpointing_interval 2000 --permanent_interval 10000 \
         --num_checkpoints 3 \
-        --skip-validation \
+        "${SKIP_VAL_FLAG[@]}" \
         --allow-arguments-change --allow-obsolete-code \
         "$@" &
     TRAIN_PID=$!

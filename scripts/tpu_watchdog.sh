@@ -18,20 +18,28 @@
 set -u
 PID_FILE=${1:?wrapper pid file}
 LOG=${2:?trainer stdout log}
-STALE_S=${3:-480}
+# Default stays ABOVE the worst-case first-compile silence (~12 min,
+# CLAUDE.md): a shorter threshold on a cold compilation cache would kill
+# the trainer mid-compile every cycle, and since a killed compile never
+# populates the cache the loop would never terminate.
+STALE_S=${3:-780}
 WRAPPER_PID=$(cat "$PID_FILE")
 while kill -0 "$WRAPPER_PID" 2>/dev/null; do
     sleep 60
     now=$(date +%s)
     mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
     if [ $((now - mt)) -gt "$STALE_S" ]; then
-        child=$(ps -o pid= --ppid "$WRAPPER_PID" | head -1 | tr -d ' ')
-        if [ -n "$child" ] && \
-           grep -q train_flownet "/proc/$child/cmdline" 2>/dev/null; then
-            echo "$(date) watchdog: $LOG stale $((now - mt))s," \
-                 "killing trainer $child" >&2
-            kill -9 "$child"
-            sleep 30
-        fi
+        # the wrapper also spawns sleep/ps children: scan ALL children
+        # and kill the one whose cmdline is the trainer, never head -1
+        for child in $(ps -o pid= --ppid "$WRAPPER_PID"); do
+            if grep -q train_flownet "/proc/$child/cmdline" 2>/dev/null
+            then
+                echo "$(date) watchdog: $LOG stale $((now - mt))s," \
+                     "killing trainer $child" >&2
+                kill -9 "$child"
+                sleep 30
+                break
+            fi
+        done
     fi
 done

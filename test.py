@@ -125,16 +125,20 @@ def perform_single_test(args, cfg, dataset):
     cfg = resolve_time_range(cfg, dataset)
     event_crop, gt_crop = build_crops(dataset.imshape, cfg.test_shape,
                                       cfg.crop_type)
-    return evaluate(init_model(args, cfg.test_shape),
-                    dataset.events,
-                    generate_frames(cfg, dataset.image_ts),
-                    dataset.gt,
-                    event_preproc_fun=event_crop,
-                    pred_postproc_fun=None,
-                    gt_proc_fun=gt_crop,
-                    is_car=cfg.is_car,
-                    log=False,
-                    batch_windows=getattr(args, 'eval_batch_windows', 8))
+    stats = {}
+    maee, mpaee = evaluate(
+        init_model(args, cfg.test_shape),
+        dataset.events,
+        generate_frames(cfg, dataset.image_ts),
+        dataset.gt,
+        event_preproc_fun=event_crop,
+        pred_postproc_fun=None,
+        gt_proc_fun=gt_crop,
+        is_car=cfg.is_car,
+        log=False,
+        batch_windows=getattr(args, 'eval_batch_windows', 8),
+        stats_out=stats)
+    return maee, mpaee, stats
 
 
 # --- per-checkpoint driver ----------------------------------------------------
@@ -215,12 +219,19 @@ def process_single(args, matrix=None):
     results = []
     for dataset, shared_cfg in matrix:
         cfg = SimpleNamespace(**vars(shared_cfg))  # job-local copy
-        cfg.mAEE, cfg.mpAEE = perform_single_test(args, cfg, dataset)
+        cfg.mAEE, cfg.mpAEE, stats = perform_single_test(args, cfg,
+                                                         dataset)
+        # robust statistic + per-window dump (mean AEE is outlier-
+        # sensitive: a few hard windows can spike it while the typical
+        # pixel improves — the dump lets spikes be traced to windows)
+        cfg.mMedEE = stats.get('median_ee')
+        cfg.windows = stats.get('windows')
         results.append(cfg)
         print(f'[{cfg.sequence}, {cfg.start}, {cfg.stop}, '
               f'{cfg.step}, {cfg.test_shape}, {cfg.crop_type}, '
               f'{cfg.is_car}]: Mean AEE: {cfg.mAEE:.6f}, '
-              f'mean %AEE: {cfg.mpAEE * 100:.6f}')
+              f'mean %AEE: {cfg.mpAEE * 100:.6f}, '
+              f'mean median-EE: {cfg.mMedEE:.6f}')
     args.output.parent.mkdir(parents=True, exist_ok=True)
     args.output.write_bytes(pickle.dumps(results))
     if args.is_temporary_model:

@@ -98,3 +98,72 @@ def test_wrapping_range_sums():
     assert s._range_events(0, 6) == 21
     assert s._range_events(5, 11) == 6 + 21 - 6
     assert s._range_events(8, 10) == 3 + 4
+
+
+def test_dense_channel_counts_and_skipper(tmp_path):
+    """Dense quantized streams get the same zero-communication rule,
+    keyed on per-sample CHANNEL counts (train_flownet wires capacity to
+    the stream's own worst per-shard window, so a static-length stream
+    never skips — identical to the single-process loop — while a
+    mixed-length stream skips deterministically on every process)."""
+    from dvs_of_training_framework_tpu.data import codec
+    from dvs_of_training_framework_tpu.data.preprocessed import \
+        per_sample_channel_counts
+
+    C, H, W = 3, 8, 8
+    shards = tmp_path / 'quant'
+    shards.mkdir()
+    for j, n_samples in enumerate((2, 3)):
+        batch = {
+            'data': np.zeros((n_samples, C, H, W), np.float32),
+            'timestamps': np.tile(np.array([0.0, 1.0], np.float64),
+                                  n_samples),
+            'sample_idx': np.repeat(np.arange(n_samples), 2),
+            'images': np.zeros((2 * n_samples, H, W), np.uint8),
+            'augmentation_params': {
+                'collapse_length': np.ones(n_samples, np.int64)},
+            'size': n_samples}
+        codec.write_encoded_batch(shards / f'{j}.hdf5',
+                                  codec.encode_quantized_batch(batch))
+
+    counts = per_sample_channel_counts(shards)
+    np.testing.assert_array_equal(counts, np.full(5, C, np.int64))
+
+    # static stream + capacity == worst window -> never skips
+    gb, n_shards = 4, 2
+    spd = gb // n_shards
+    cap = int(counts[:spd].sum())
+    loader = FakeLoader(gb)
+    it = iter(ShardedBatchSkipper(loader, counts, global_batch=gb,
+                                  n_shards=n_shards,
+                                  capacity_per_shard=cap,
+                                  unit='channels'))
+    assert [next(it) for _ in range(4)] == [0, 4, 8, 12]
+    assert loader.skipped == []
+
+    # a mixed-length stream (dynamic sample length) skips the batch
+    # whose per-shard channel window exceeds the capacity — identically
+    # for every process, from the same counts
+    mixed = counts.copy()
+    mixed[1] = 5 * C
+    decisions = []
+    for _proc in range(2):
+        loader = FakeLoader(gb)
+        it = iter(ShardedBatchSkipper(loader, mixed, global_batch=gb,
+                                      n_shards=n_shards,
+                                      capacity_per_shard=cap,
+                                      unit='channels'))
+        served = [next(it) for _ in range(4)]
+        decisions.append((served, list(loader.skipped)))
+    assert decisions[0] == decisions[1]
+    assert decisions[0][1], 'oversized mixed batch must be skipped'
+
+    # raw shards (no channels_per_sample) are refused: wrong stream kind
+    import h5py
+    import pytest
+    raw_dir = tmp_path / 'raw_shards'
+    raw_dir.mkdir()
+    with h5py.File(raw_dir / '0.hdf5', 'w') as f:
+        f.create_group('events')
+    with pytest.raises(ValueError):
+        per_sample_channel_counts(raw_dir)

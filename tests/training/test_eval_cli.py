@@ -75,12 +75,19 @@ def test_perform_single_test(raw_sequence, tmp_path):
     cfg = SimpleNamespace(start=0.2, stop=1.0, step=1,
                           test_shape=[48, 48], crop_type='central',
                           is_car=False)
-    mAEE, mpAEE = test_cli.perform_single_test(args, cfg, dataset)
+    mAEE, mpAEE, stats = test_cli.perform_single_test(args, cfg, dataset)
     # zero-flow prediction vs 0.5px/interval GT inside one interval:
     # expected displacement == 0.5 px per window of 0.1 s
     assert np.isfinite(mAEE)
     assert mAEE == pytest.approx(0.5, rel=1e-2)
     assert 0.9 < mpAEE <= 1.0
+    # the robust view rides along: constant-EE windows have median == mean
+    assert stats['median_ee'] == pytest.approx(mAEE, rel=1e-2)
+    assert stats['windows'], 'per-window dump missing'
+    w = stats['windows'][0]
+    assert set(w) >= {'start', 'stop', 'aee', 'percent_aee',
+                      'median_ee', 'n_points'}
+    assert w['stop'] > w['start']
 
 
 def test_process_all_aggregates_tb(raw_sequence, tmp_path, monkeypatch):

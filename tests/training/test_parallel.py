@@ -160,3 +160,61 @@ def test_sharded_step_runs_on_8_devices():
     state, (loss, terms) = step_dp(state, device_batch)
     assert np.isfinite(float(loss))
     assert int(state.step) == 1
+
+
+def test_sharded_eval_step_matches_single_device_validate():
+    """Mesh-mode validation: the sharded eval step + training-side batch
+    split produces the same scalars as the single-device validate pass
+    (equal shards -> pmean of shard means == full-batch mean)."""
+    from dvs_of_training_framework_tpu.parallel import (
+        make_global_batch, make_sharded_eval_step)
+    from dvs_of_training_framework_tpu.training.state import make_eval_step
+    from dvs_of_training_framework_tpu.training.train import validate
+
+    n = 4
+    model, params, tx, evaluator, batch, probe = make_setup(n)
+    mesh = make_mesh(f'data:{n}')
+    weights = [0.5, 1, 1]
+
+    class Log:
+        def __init__(self):
+            self.scalars = {}
+
+        def add_scalar(self, tag, value, step):
+            self.scalars[tag] = value
+
+    tags = ['4x4', '8x8', '16x16', '32x32']
+    eval_ref = make_eval_step(model, evaluator, weights, is_raw=True)
+    log_ref = Log()
+    loss_ref = validate(eval_ref, params, iter([batch]), 0, log_ref, tags,
+                        is_raw=True, event_capacity=4096)
+
+    eval_dp = make_sharded_eval_step(model, evaluator, weights, mesh)
+
+    def prepare(collated, capacity):
+        if int(collated['size']) % n:
+            raise ValueError('indivisible')
+        return make_global_batch(
+            split_batch_for_mesh(collated, n,
+                                 capacity_per_shard=max(capacity // n,
+                                                        1024)),
+            mesh)
+
+    log_dp = Log()
+    loss_dp = validate(eval_dp, params, iter([batch]), 0, log_dp, tags,
+                       is_raw=True, event_capacity=4096,
+                       prepare_batch=prepare)
+    assert loss_dp == pytest.approx(loss_ref, rel=1e-5)
+    assert set(log_dp.scalars) == set(log_ref.scalars)
+    for tag, v in log_ref.scalars.items():
+        assert log_dp.scalars[tag] == pytest.approx(v, rel=1e-4, abs=1e-7)
+
+    # an indivisible remainder batch is dropped, not crashed on
+    odd = collate_wrapper([Dataset(path=data_path, shape=[32, 32],
+                                   augmentation=False, collapse_length=1,
+                                   is_raw=True, max_seq_length=1)[0]])
+    log_mix = Log()
+    validate(eval_dp, params, iter([odd, batch]), 0, log_mix, tags,
+             is_raw=True, event_capacity=4096, prepare_batch=prepare)
+    assert log_mix.scalars['General/Validation loss'] == \
+        pytest.approx(loss_dp, rel=1e-6)

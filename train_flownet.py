@@ -36,11 +36,12 @@ def parse_args(args, is_write=True):
     args.model.mkdir(exist_ok=True, parents=True)
     args.log_path = args.model / 'log'
 
-    # resolve --event-capacity auto before provenance is collected so the
-    # recorded (and resume-checked) value is the concrete buffer size
-    from dvs_of_training_framework_tpu.utils.options import \
-        resolve_event_capacity
+    # resolve --event-capacity auto / --wire-events auto before provenance
+    # is collected so the recorded (and resume-checked) values are concrete
+    from dvs_of_training_framework_tpu.utils.options import (
+        resolve_event_capacity, resolve_wire_events)
     resolve_event_capacity(args)
+    resolve_wire_events(args)
 
     execution_info = collect_execution_info(args)
     check_execution_info(args.model, execution_info, args)
@@ -61,7 +62,8 @@ def pad_sequence_length(args):
 
 def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
                  event_image_fn=None, localize_params=False,
-                 fused_eval_step=None, eval_window=0):
+                 fused_eval_step=None, eval_window=0,
+                 val_prepare_batch=None):
     """Periodic hooks: serialization every checkpointing_interval,
     validation every vp (reference train_flownet.py:112-126).
 
@@ -97,7 +99,8 @@ def create_hooks(args, serializer, state_holder, eval_step, logger, tags,
             loader_factory, logger, tags, is_raw=True,
             event_capacity=args.event_capacity,
             sequence_length=pad_sequence_length(args),
-            fused_eval_step=fused_eval_step, window=eval_window)
+            fused_eval_step=fused_eval_step, window=eval_window,
+            prepare_batch=val_prepare_batch)
         periods['validation'] = args.vp
     periodic_hooks = {k: make_hook_periodic(hooks[k], periods[k])
                       for k in periods}
@@ -153,7 +156,8 @@ def main(argv=None):
 
     timers = SynchronizedWallClockTimer() if args.timers else FakeTimer()
 
-    model, params = init_model(args, jax.random.PRNGKey(0))
+    model, params = init_model(
+        args, jax.random.PRNGKey(getattr(args, 'init_seed', 0)))
 
     serializer = Serializer(args.model,
                             args.num_checkpoints,
@@ -244,14 +248,39 @@ def main(argv=None):
             train_step_fused = make_fused_window_step(
                 model, evaluator, tx, args.loss_weights, args.accum_step,
                 window, is_raw=args.is_raw)
-    eval_step = make_eval_step(model, evaluator, args.loss_weights,
-                               is_raw=True)
+    val_prepare_batch = None
+    if args.mesh is not None and n_proc == 1:
+        # single-process mesh: validation runs SHARDED (the eval step is
+        # the train step minus the update — it shards the same way), so
+        # a mesh run validates at mesh speed instead of single-device on
+        # localized params (measured 5.4x at the production shape on the
+        # 8-device virtual mesh, scripts/benchmarks/mesh_validation_cost
+        # .py).  Multi-host keeps the proc-0 localized path: hooks are
+        # proc-0-only side effects and a collective eval would need every
+        # process in the firing.
+        from dvs_of_training_framework_tpu.parallel import \
+            make_sharded_eval_step
+        eval_step = make_sharded_eval_step(model, evaluator,
+                                           args.loss_weights, mesh,
+                                           is_raw=True)
+
+        def val_prepare_batch(collated, capacity):
+            if int(collated['size']) % n_shards:
+                raise ValueError('remainder batch not divisible by mesh')
+            return make_global_batch(
+                split_batch_for_mesh(
+                    collated, n_shards,
+                    capacity_per_shard=max(capacity // n_shards, 4096),
+                    sequence_length=pad_sequence_length(args)),
+                mesh)
+    else:
+        eval_step = make_eval_step(model, evaluator, args.loss_weights,
+                                   is_raw=True)
     # windowed validation is an explicit opt-in (--validation-window K):
     # through the tunnelled wire it measured neutral-to-worse vs per-batch
     # (PERFORMANCE.md "Windowed validation: measured closure"), so the
-    # default stays per-batch.  (Mesh validation stays per-batch: its
-    # eval runs single-device on localized params and the queue's
-    # place_fn is mesh-committed.)
+    # default stays per-batch.  (Mesh-windowed validation is not wired:
+    # the queue's place_fn is mesh-committed.)
     val_window = getattr(args, 'validation_window', 0)
     fused_eval_step = None
     if val_window > 0 and args.mesh is None and not args.skip_validation:
@@ -280,7 +309,8 @@ def main(argv=None):
                                              logger, tags, event_image_fn,
                                              localize_params=n_proc > 1,
                                              fused_eval_step=fused_eval_step,
-                                             eval_window=val_window)
+                                             eval_window=val_window,
+                                             val_prepare_batch=val_prepare_batch)
     else:
         # process 0 owns all side-effects (checkpoints, TB, validation);
         # the collective train step itself runs on every process
@@ -317,22 +347,42 @@ def main(argv=None):
                             sample_idx=samples_passed,
                             process_only_once=args.process_only_once,
                             event_image_fn=event_image_fn)
-    if n_proc > 1 and args.preprocessed_dataset_path is not None \
-            and args.is_raw:
+    if n_proc > 1 and args.preprocessed_dataset_path is not None:
         # the oversized-batch decision must be identical on every process
-        # (a diverging skip would desynchronise the SPMD dispatch order);
-        # the stream is static, so the rule is a pure function of the
-        # precomputed per-sample event counts — zero communication
-        from dvs_of_training_framework_tpu.data.preprocessed import \
-            per_sample_event_counts
+        # (a diverging skip would silently skew proc-0 sample accounting);
+        # the stream is static, so the rule is a pure function of
+        # precomputed per-sample sizes — zero communication.  Raw streams
+        # bound per-shard EVENTS by the device buffer; dense quantized
+        # streams bound per-shard CHANNELS by the worst batch the stream
+        # itself can serve (static-length streams therefore never skip —
+        # same as the single-process loop — but a mixed-length stream
+        # skips identically on every process)
         from dvs_of_training_framework_tpu.parallel.distributed import \
             ShardedBatchSkipper
-        cap = min(args.event_capacity, args.max_events_per_batch)
+        if args.is_raw:
+            from dvs_of_training_framework_tpu.data.preprocessed import \
+                per_sample_event_counts
+            costs = per_sample_event_counts(args.preprocessed_dataset_path)
+            cap = min(args.event_capacity, args.max_events_per_batch)
+            cap_per_shard = max(cap // n_shards, 4096)
+            unit = 'events'
+        else:
+            import numpy as np
+            from dvs_of_training_framework_tpu.data.preprocessed import \
+                per_sample_channel_counts
+            costs = per_sample_channel_counts(
+                args.preprocessed_dataset_path)
+            spd = args.mbs // n_shards
+            wrapped = np.concatenate([costs, costs[:max(spd - 1, 0)]])
+            csum = np.concatenate([[0], np.cumsum(wrapped)])
+            cap_per_shard = int((csum[spd:] - csum[:-spd]).max()) \
+                if spd < wrapped.size else int(costs.sum())
+            unit = 'channels'
         loader = ShardedBatchSkipper(
-            loader, per_sample_event_counts(args.preprocessed_dataset_path),
+            loader, costs,
             global_batch=args.mbs, n_shards=n_shards,
-            capacity_per_shard=max(cap // n_shards, 4096),
-            start_sample=samples_passed)
+            capacity_per_shard=cap_per_shard,
+            start_sample=samples_passed, unit=unit)
 
     if not args.skip_validation:
         hooks['validation'](global_step, samples_passed)
