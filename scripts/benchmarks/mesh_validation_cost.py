@@ -35,6 +35,7 @@ sys.path.insert(0, str(REPO))
 
 def force_cpu(n=8):
     import jax
+    import jax.extend.backend
     jax.extend.backend.clear_backends()
     jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_num_cpu_devices', n)

@@ -253,11 +253,13 @@ def main(argv=None):
         # single-process mesh: validation runs SHARDED (the eval step is
         # the train step minus the update — it shards the same way), so
         # a mesh run validates at mesh speed instead of single-device on
-        # localized params (measured 5.4x at the production shape on the
-        # 8-device virtual mesh, scripts/benchmarks/mesh_validation_cost
-        # .py).  Multi-host keeps the proc-0 localized path: hooks are
-        # proc-0-only side effects and a collective eval would need every
-        # process in the firing.
+        # localized params.  Measured on the 8-device virtual CPU mesh
+        # (scripts/benchmarks/mesh_validation_cost.py, equal total work
+        # timeshared on one core): 1.33x at the production shape
+        # (EVF-64, 131k events, 256^2) — on real chips the n-way compute
+        # parallelism comes on top.  Multi-host keeps the proc-0
+        # localized path: hooks are proc-0-only side effects and a
+        # collective eval would need every process in the firing.
         from dvs_of_training_framework_tpu.parallel import \
             make_sharded_eval_step
         eval_step = make_sharded_eval_step(model, evaluator,
