@@ -198,3 +198,42 @@ def test_resolve_event_capacity_auto(tmp_path):
     args2 = SimpleNamespace(event_capacity=4096)
     resolve_event_capacity(args2)
     assert args2.event_capacity == 4096
+
+
+def test_resolve_wire_events_auto(tmp_path):
+    """--wire-events auto: pooled iff a raw preprocessed stream feeds
+    the device queue at < 80% mean fill; padded on multi-host, dense,
+    windowless and raw-augmenting configurations."""
+    from types import SimpleNamespace
+
+    from dvs_of_training_framework_tpu.data.preprocessed import \
+        per_sample_event_counts
+    from dvs_of_training_framework_tpu.utils.options import \
+        resolve_wire_events
+    out, _ = write_shards(tmp_path)
+    mean_batch = per_sample_event_counts(out).mean() * 2
+
+    def make(**kw):
+        base = dict(wire_events='auto', is_raw=True, mbs=2,
+                    preprocessed_dataset_path=out,
+                    device_queue_window=16,
+                    event_capacity=int(mean_batch * 4))  # fill 0.25
+        base.update(kw)
+        return SimpleNamespace(**base)
+
+    assert resolve_wire_events(make()).wire_events == 'pooled'
+    # high fill: the pool's +capacity tail would ship MORE than padded
+    high = make(event_capacity=int(mean_batch * 1.05))
+    assert resolve_wire_events(high).wire_events == 'padded'
+    # dense / windowless / raw-augmenting / multi-host resolve padded
+    assert resolve_wire_events(make(is_raw=False)).wire_events == 'padded'
+    assert resolve_wire_events(
+        make(device_queue_window=0)).wire_events == 'padded'
+    assert resolve_wire_events(
+        make(preprocessed_dataset_path=None)).wire_events == 'padded'
+    assert resolve_wire_events(
+        make(num_processes=2)).wire_events == 'padded'
+    # explicit choices pass through untouched
+    assert resolve_wire_events(
+        make(wire_events='pooled', event_capacity=1)).wire_events \
+        == 'pooled'
