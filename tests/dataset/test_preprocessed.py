@@ -237,3 +237,25 @@ def test_resolve_wire_events_auto(tmp_path):
     assert resolve_wire_events(
         make(wire_events='pooled', event_capacity=1)).wire_events \
         == 'pooled'
+
+
+def test_resolve_wire_data_auto():
+    """--wire-data auto: bf16 exactly when --precision bfloat16 makes
+    the cast effect-lossless; explicit lossy pairing warns."""
+    import warnings
+    from types import SimpleNamespace
+
+    from dvs_of_training_framework_tpu.utils.options import \
+        resolve_wire_data
+
+    a = SimpleNamespace(wire_data='auto', precision='bfloat16')
+    assert resolve_wire_data(a).wire_data == 'bf16'
+    b = SimpleNamespace(wire_data='auto', precision=None)
+    assert resolve_wire_data(b).wire_data == 'f32'
+    c = SimpleNamespace(wire_data='f32', precision='bfloat16')
+    assert resolve_wire_data(c).wire_data == 'f32'  # explicit untouched
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        d = SimpleNamespace(wire_data='bf16', precision=None)
+        assert resolve_wire_data(d).wire_data == 'bf16'
+    assert any('quantized to bf16' in str(w.message) for w in caught)
