@@ -19,6 +19,7 @@ the slow weights in its optimizer state, so checkpoints capture them and
 resume is exact (the "lookahead slow weights interact with resume" hazard
 called out in SURVEY.md §7).
 """
+import typing
 from typing import NamedTuple
 
 import jax
@@ -176,6 +177,49 @@ def has_split_params(params) -> bool:
     return isinstance(params, dict) and 'quantization_layer' in params
 
 
+class ParamEmaState(NamedTuple):
+    inner_state: typing.Any
+    ema_params: optax.Params
+
+
+def with_param_ema(inner: optax.GradientTransformation,
+                   decay: float) -> optax.GradientTransformation:
+    """Outermost rider maintaining an EMA of the POST-update parameters.
+
+    Stabiliser for eval/serving (beyond reference parity, off by
+    default): the coarse-flow-head explosions characterized in round 5
+    (ACCURACY.md — localized 10^3-10^4 px flow on rare inputs at late
+    checkpoints) are transient parameter excursions; an exponential
+    moving average of the weights rides through them.  The EMA lives in
+    the optimizer state, so checkpoints carry it for free and resume is
+    exact; ``Serializer.finalize(use_ema=True)`` / ``test.py --use-ema``
+    export and evaluate it.  Must wrap the COMPLETE chain (it applies
+    the final updates to compute the post-step params).
+    """
+    assert 0.0 < decay < 1.0, decay
+
+    def init(params):
+        # explicit copy: the EMA must not alias the live params
+        # (donate_argnums buffer donation would corrupt it)
+        return ParamEmaState(
+            inner_state=inner.init(params),
+            ema_params=jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params))
+
+    def update(updates, state, params=None):
+        assert params is not None, 'param EMA needs params'
+        updates, inner_state = inner.update(updates, state.inner_state,
+                                            params)
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema_params, new_params)
+        return updates, ParamEmaState(inner_state=inner_state,
+                                      ema_params=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
 def construct_optimizer(args, params) -> optax.GradientTransformation:
     """Build the optimizer for a model's params.
 
@@ -195,7 +239,12 @@ def construct_optimizer(args, params) -> optax.GradientTransformation:
         # took 20k steps to partially climb out of (ACCURACY.md).
         clip = float(getattr(args, 'grad_clip_norm', 0.0) or 0.0)
         if clip > 0.0:
-            return optax.chain(optax.clip_by_global_norm(clip), tx)
+            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+        # opt-in parameter EMA for eval/serving (--ema-decay); MUST be
+        # the outermost rider (it applies the final updates)
+        ema = float(getattr(args, 'ema_decay', 0.0) or 0.0)
+        if ema > 0.0:
+            tx = with_param_ema(tx, ema)
         return tx
 
     # --flat-optimizer: legacy flat opt-state layout (see _base_transform)

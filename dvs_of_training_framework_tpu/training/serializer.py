@@ -64,6 +64,25 @@ def read_params_file(path, target=None):
     return state
 
 
+def find_ema_params(opt_state_dict):
+    """Locate the ``ema_params`` tree inside a serialized optimizer state.
+
+    ``optimizers.with_param_ema`` is the outermost rider, but the state
+    dict nests it under flax's namedtuple field names, so a small
+    recursive search keyed on the distinctive ``ema_params`` field is
+    robust to where the wrapper sits in the chain.
+    """
+    if not isinstance(opt_state_dict, dict):
+        return None
+    if 'ema_params' in opt_state_dict:
+        return opt_state_dict['ema_params']
+    for value in opt_state_dict.values():
+        found = find_ema_params(value)
+        if found is not None:
+            return found
+    return None
+
+
 def remove_tree(path):
     path = Path(path)
     if path.is_file():
@@ -185,11 +204,23 @@ class Serializer:
 
     def finalize(self,
                  global_step: int,
-                 path: typing.Union[str, os.PathLike]):
-        """Export a weights-only file for inference/distribution."""
+                 path: typing.Union[str, os.PathLike],
+                 use_ema: bool = False):
+        """Export a weights-only file for inference/distribution.
+
+        ``use_ema=True`` exports the parameter EMA maintained by
+        ``optimizers.with_param_ema`` (``--ema-decay``) instead of the
+        live weights; raises if the checkpoint carries no EMA.
+        """
         checkpoint_state_dict = self.read_state_dict(global_step)
-        data = serialization.msgpack_serialize(
-            {'model': checkpoint_state_dict['model']})
+        model = checkpoint_state_dict['model']
+        if use_ema:
+            model = find_ema_params(checkpoint_state_dict.get('optimizer'))
+            if model is None:
+                raise ValueError(
+                    f'checkpoint step {global_step} holds no parameter '
+                    'EMA (train with --ema-decay to record one)')
+        data = serialization.msgpack_serialize({'model': model})
         Path(path).write_bytes(data)
 
     def load_checkpoint(self, global_step, params_target=None,

@@ -149,7 +149,8 @@ def get_output_path(args):
         checkpoint = Path(args.model)
     else:
         checkpoint = Serializer(args.model)._id2path(args.step)
-    return args.output / (checkpoint.stem + '.pkl')
+    suffix = '_ema' if getattr(args, 'use_ema', False) else ''
+    return args.output / (checkpoint.stem + suffix + '.pkl')
 
 
 def export_weights_only(args):
@@ -166,7 +167,9 @@ def export_weights_only(args):
     args.is_temporary_model = True
     handle = tempfile.NamedTemporaryFile(suffix='.ckpt', delete=False)
     handle.close()
-    Serializer(args.model).finalize(args.step, handle.name)
+    Serializer(args.model).finalize(args.step, handle.name,
+                                    use_ema=getattr(args, 'use_ema',
+                                                    False))
     args.model = Path(handle.name)
     return args
 
